@@ -1,0 +1,29 @@
+"""Test harness: force an 8-device virtual CPU platform BEFORE jax initializes.
+
+The reference never had a way to exercise its distributed path without real GPUs
+(SURVEY.md §4); here every multi-chip test runs on a virtual CPU mesh. The axon
+sitecustomize pre-registers a TPU backend and overrides ``jax_platforms``, so we
+must both set the env var and update the config after import (backends are still
+uninitialized at conftest time, so this is safe).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
