@@ -1,0 +1,162 @@
+"""Denoiser backbone + DiscreteDiffusion process tests (small configs)."""
+
+from functools import partial
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from text_to_sound_synthesis_tpu.models.diffusion import (
+    DiscreteDiffusion,
+    Text2SpecTransformer,
+    sample_tokens,
+)
+from text_to_sound_synthesis_tpu.models.diffusion.process import (
+    TimestepSamplerState,
+    sample_timesteps,
+    update_timestep_state,
+)
+from text_to_sound_synthesis_tpu.ops.sampling import truncate_top_r
+
+SMALL = dict(
+    n_layer=2, n_embd=32, n_head=4, content_seq_len=12, condition_dim=16,
+    diffusion_step=8, content_spatial_size=(3, 4),
+    content_emb_config={"params": {"num_embed": 10, "embed_dim": 32, "spatial_size": (3, 4)}},
+)
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    model = DiscreteDiffusion(
+        transformer_config={"params": SMALL},
+        diffusion_step=8,
+        auxiliary_loss_weight=5e-4,
+        adaptive_auxiliary_loss=True,
+    )
+    tokens = jnp.zeros((2, 12), jnp.int32)
+    cond = jnp.zeros((2, 5, 16))
+    t = jnp.zeros((2,), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), tokens, cond, t)
+    return model, params
+
+
+def test_backbone_shapes():
+    bb = Text2SpecTransformer(**SMALL)
+    tokens = jnp.zeros((2, 12), jnp.int32)
+    cond = jnp.zeros((2, 5, 16))
+    t = jnp.zeros((2,), jnp.int32)
+    params = bb.init(jax.random.PRNGKey(0), tokens, cond, t)
+    out = bb.apply(params, tokens, cond, t)
+    assert out.shape == (2, 12, 10)  # num_embed classes (mask excluded)
+
+
+def test_predict_start_is_valid_log_prob(small_model, rng):
+    model, params = small_model
+    tokens = jnp.asarray(rng.integers(0, 11, (2, 12)), jnp.int32)
+    cond = jnp.asarray(rng.standard_normal((2, 5, 16)), jnp.float32)
+    t = jnp.asarray([0, 7], jnp.int32)
+    lp = model.apply(params, tokens, cond, t, method=model.predict_start)
+    assert lp.shape == (2, 12, 11)
+    p = np.exp(np.asarray(lp))
+    np.testing.assert_allclose(p.sum(-1), 1.0, atol=1e-5)  # mask col ~ e^-70
+    assert np.all(np.asarray(lp) <= 0) and np.all(np.asarray(lp) >= -70)
+
+
+def test_train_loss_finite_and_grads_flow(small_model, rng):
+    model, params = small_model
+    x0 = jnp.asarray(rng.integers(0, 10, (2, 12)), jnp.int32)
+    cond = jnp.asarray(rng.standard_normal((2, 5, 16)), jnp.float32)
+    t = jnp.asarray([0, 5], jnp.int32)
+    pt = jnp.full((2,), 1.0 / 8)
+
+    def loss_fn(p):
+        out = model.apply(p, jax.random.PRNGKey(1), x0, cond, t, pt, method=model.train_loss)
+        return out.loss, out
+
+    (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert out.kl_loss.shape == (2,)
+    leaves = jax.tree_util.tree_leaves(grads)
+    gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in leaves)
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_timestep_importance_sampler():
+    T = 8
+    state = TimestepSamplerState.create(T)
+    key = jax.random.PRNGKey(0)
+    # cold start -> uniform
+    t, pt = sample_timesteps(key, state, 64, T)
+    assert t.shape == (64,) and np.all((np.asarray(t) >= 0) & (np.asarray(t) < T))
+    np.testing.assert_allclose(np.asarray(pt), 1.0 / T)
+
+    # warm state with loss concentrated at t=3 -> importance sampling favors it
+    hist = jnp.zeros((T,)).at[3].set(100.0) + 0.01
+    state = TimestepSamplerState(hist, jnp.full((T,), 11.0))
+    t, pt = sample_timesteps(key, state, 2000, T)
+    frac3 = float(np.mean(np.asarray(t) == 3))
+    assert frac3 > 0.5
+    # pt values match the categorical weights
+    lt = np.sqrt(np.asarray(hist) + 1e-10) + 1e-4
+    lt[0] = lt[1]
+    want = lt / lt.sum()
+    np.testing.assert_allclose(np.asarray(pt)[np.asarray(t) == 3][0], want[3], rtol=1e-5)
+
+
+def test_update_timestep_state():
+    state = TimestepSamplerState.create(4)
+    t = jnp.asarray([1, 1, 3], jnp.int32)
+    kl = jnp.asarray([2.0, 3.0, 4.0])
+    new = update_timestep_state(state, t, kl)
+    assert float(new.Lt_count[3]) == 1.0
+    assert float(new.Lt_count[0]) == 0.0
+    np.testing.assert_allclose(float(new.Lt_history[3]), 0.1 * 16.0)
+    # duplicate index: one of the writes wins (deterministic in XLA)
+    assert float(new.Lt_history[1]) in (pytest.approx(0.4), pytest.approx(0.9))
+
+
+@pytest.mark.slow
+def test_sampler_full_and_fast(small_model, rng):
+    model, params = small_model
+    cond = jnp.asarray(rng.standard_normal((2, 5, 16)), jnp.float32)
+
+    tokens = sample_tokens(
+        model, params, jax.random.PRNGKey(0), cond,
+        filter_fn=partial(truncate_top_r, r=0.85),
+    )
+    assert tokens.shape == (2, 12)
+    arr = np.asarray(tokens)
+    assert np.all((arr >= 0) & (arr < 10 + 1))
+
+    fast = sample_tokens(
+        model, params, jax.random.PRNGKey(0), cond, skip_step=2,
+        filter_fn=partial(truncate_top_r, r=0.85),
+    )
+    assert fast.shape == (2, 12)
+
+
+@pytest.mark.slow
+def test_sampler_partial_from_content(small_model, rng):
+    model, params = small_model
+    cond = jnp.asarray(rng.standard_normal((1, 5, 16)), jnp.float32)
+    content = jnp.asarray(rng.integers(0, 10, (1, 12)), jnp.int32)
+    tokens = sample_tokens(
+        model, params, jax.random.PRNGKey(0), cond,
+        content_tokens=content, filter_ratio=0.5,
+    )
+    assert tokens.shape == (1, 12)
+
+
+def test_sampler_is_jittable(small_model, rng):
+    model, params = small_model
+    cond = jnp.asarray(rng.standard_normal((1, 5, 16)), jnp.float32)
+
+    @jax.jit
+    def run(params, key, cond):
+        return sample_tokens(model, params, key, cond,
+                             filter_fn=partial(truncate_top_r, r=0.85))
+
+    out = run(params, jax.random.PRNGKey(0), cond)
+    assert out.shape == (1, 12)
