@@ -23,6 +23,15 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The CLIP BPE merge table is an external artifact (like model checkpoints);
+# tests use the copy in the read-only reference mount when present.
+_REF_BPE = (
+    "/root/reference/Diffsound/sound_synthesis/modeling/modules/clip/"
+    "bpe_simple_vocab_16e6.txt.gz"
+)
+if "T2S_CLIP_BPE" not in os.environ and os.path.exists(_REF_BPE):
+    os.environ["T2S_CLIP_BPE"] = _REF_BPE
+
 
 @pytest.fixture
 def rng():

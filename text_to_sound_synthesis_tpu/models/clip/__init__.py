@@ -1,0 +1,3 @@
+from .tokenizer import ClipBPETokenizer, find_default_bpe
+from .text_model import ClipTextEncoder, CLIPTextEmbedding
+from .tokenize import Tokenize

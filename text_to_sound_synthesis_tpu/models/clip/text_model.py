@@ -1,0 +1,134 @@
+"""CLIP ViT-B/32 text tower in flax — the frozen condition encoder.
+
+Parity targets:
+* the vendored OpenAI text transformer (``modules/clip/model.py``:
+  ResidualAttentionBlock:166, Transformer:190, encode_text:341) — pre-LN blocks
+  with causal masking, QuickGELU MLPs, learned positional embeddings, ln_final;
+* the ``CLIPTextEmbedding`` wrapper
+  (``modeling/embeddings/clip_text_embedding.py:7-88``) — clamp negative pad ids
+  to 0, optional per-token output (pick_last_embedding=False, the Diffsound
+  configuration), optional L2 normalization, optional width doubling to 1024.
+
+Weights come from the released CLIP checkpoint via convert/torch_to_jax.py
+(fp16 storage -> float32).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...utils.config import register
+
+__all__ = ["ClipTextEncoder", "CLIPTextEmbedding"]
+
+
+def quick_gelu(x):
+    return x * nn.sigmoid(1.702 * x)
+
+
+class ResidualAttentionBlock(nn.Module):
+    width: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, causal_mask):
+        B, L, D = x.shape
+        hd = D // self.heads
+        h = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
+        qkv = nn.Dense(3 * D, dtype=self.dtype, name="attn_in_proj")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, L, self.heads, hd)
+        k = k.reshape(B, L, self.heads, hd)
+        v = v.reshape(B, L, self.heads, hd)
+        att = jnp.einsum("blhd,bshd->bhls", q, k) / math.sqrt(hd)
+        att = att + causal_mask  # (L, L) additive -inf above diagonal
+        att = nn.softmax(att.astype(jnp.float32), axis=-1).astype(self.dtype)
+        y = jnp.einsum("bhls,bshd->blhd", att, v).reshape(B, L, D)
+        x = x + nn.Dense(D, dtype=self.dtype, name="attn_out_proj")(y)
+        h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
+        h = nn.Dense(4 * D, dtype=self.dtype, name="mlp_c_fc")(h)
+        h = quick_gelu(h)
+        x = x + nn.Dense(D, dtype=self.dtype, name="mlp_c_proj")(h)
+        return x
+
+
+class ClipTextEncoder(nn.Module):
+    """tokens (B, L) -> per-token features after ln_final (B, L, width)."""
+
+    vocab_size: int = 49408
+    context_length: int = 77
+    width: int = 512
+    layers: int = 12
+    heads: int = 8
+    embed_dim: int = 512  # projection output dim
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Embed(self.vocab_size, self.width, dtype=self.dtype, name="token_embedding")(tokens)
+        pos = self.param(
+            "positional_embedding", nn.initializers.normal(0.01),
+            (self.context_length, self.width),
+        )
+        x = x + pos[None, : x.shape[1], :].astype(x.dtype)
+        L = x.shape[1]
+        causal = jnp.triu(jnp.full((L, L), -jnp.inf, jnp.float32), k=1)
+        for i in range(self.layers):
+            x = ResidualAttentionBlock(self.width, self.heads, self.dtype, name=f"resblock_{i}")(x, causal)
+        return nn.LayerNorm(dtype=self.dtype, name="ln_final")(x)
+
+    def project_eot(self, tokens: jnp.ndarray, features: jnp.ndarray) -> jnp.ndarray:
+        """Take the EOT position (argmax token id) through text_projection."""
+        proj = self.param(
+            "text_projection", nn.initializers.normal(self.width**-0.5),
+            (self.width, self.embed_dim),
+        )
+        eot = jnp.argmax(tokens, axis=-1)
+        picked = features[jnp.arange(features.shape[0]), eot]
+        return picked @ proj.astype(picked.dtype)
+
+
+@register(
+    "text_to_sound_synthesis_tpu.models.clip.CLIPTextEmbedding",
+    "sound_synthesis.modeling.embeddings.clip_text_embedding.CLIPTextEmbedding",
+)
+class CLIPTextEmbedding(nn.Module):
+    """Frozen condition embedding. Diffsound config (caps.yaml:69-78):
+    normalize=True, pick_last_embedding=False, embed_dim=512 -> L2-normalized
+    per-token (B, 77, 512) features."""
+
+    clip_name: str = "ViT-B/32"
+    num_embed: int = 49408
+    normalize: bool = True
+    pick_last_embedding: bool = False
+    keep_seq_len_dim: bool = False
+    additional_last_embedding: bool = False
+    embed_dim: int = 512
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        if self.clip_name != "ViT-B/32":
+            raise NotImplementedError(f"unsupported clip variant {self.clip_name!r}")
+        self.encoder = ClipTextEncoder(
+            vocab_size=self.num_embed, dtype=self.dtype, name="text"
+        )
+
+    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        tokens = jnp.maximum(tokens, 0)  # negative pad ids -> 0
+        feats = self.encoder(tokens)  # (B, L, 512)
+        if self.pick_last_embedding:
+            out = self.encoder.project_eot(tokens, feats)
+            if self.keep_seq_len_dim:
+                out = out[:, None, :]
+        else:
+            out = feats
+        if self.embed_dim == 1024:
+            out = jnp.concatenate([out, out], axis=-1)
+        if self.normalize:
+            out = out / jnp.linalg.norm(out, axis=-1, keepdims=True)
+        return out
