@@ -109,13 +109,19 @@ class CLIPTextEmbedding(nn.Module):
     keep_seq_len_dim: bool = False
     additional_last_embedding: bool = False
     embed_dim: int = 512
+    # tower geometry; defaults are the ViT-B/32 text transformer
+    width: int = 512
+    layers: int = 12
+    heads: int = 8
+    context_length: int = 77
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        if self.clip_name != "ViT-B/32":
-            raise NotImplementedError(f"unsupported clip variant {self.clip_name!r}")
         self.encoder = ClipTextEncoder(
-            vocab_size=self.num_embed, dtype=self.dtype, name="text"
+            vocab_size=self.num_embed, context_length=self.context_length,
+            width=self.width, layers=self.layers, heads=self.heads,
+            embed_dim=self.embed_dim if self.pick_last_embedding else self.width,
+            dtype=self.dtype, name="text",
         )
 
     def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:

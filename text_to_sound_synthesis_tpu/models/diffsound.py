@@ -1,0 +1,197 @@
+"""Diffsound composite: frozen spec codec + text codec + diffusion generator.
+
+Parity target: ``DALLE`` (``Diffsound/sound_synthesis/modeling/models/dalle_spec.py:23-351``)
+— ``prepare_input`` (spec -> permuted VQ tokens; text -> CLIP BPE ids),
+``forward`` (diffusion loss), ``generate_content`` (text -> mel with truncation
+sampling), ``reconstruct``, ``decode_to_img``.
+
+TPU-native redesign: instead of one nn.Module owning frozen submodules (the
+reference needs DDP ``find_unused_parameters=True`` because of this), the
+composite is a plain object holding three separately-parameterized flax models:
+
+* ``codec``   — VQModel (frozen; params never enter the optimizer)
+* ``cond``    — CLIPTextEmbedding (frozen)
+* ``diffusion`` — DiscreteDiffusion (trained)
+
+Every compute path is a pure jittable function over an explicit params pytree;
+text tokenization is the only host-side step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Mapping, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import permuter as permuter_ops
+from ..ops.sampling import truncate_top_k, truncate_top_r
+from ..utils.config import instantiate_from_config, register
+from .clip.text_model import CLIPTextEmbedding
+from .clip.tokenize import Tokenize
+from .diffusion.process import DiscreteDiffusion, sample_tokens
+from .vqgan.model import VQModel
+
+__all__ = ["Diffsound", "build_model", "parse_sample_type"]
+
+
+def parse_sample_type(sample_type: str):
+    """'top0.85r[,fastN]' -> (filter_fn, skip_step) — the reference's string
+    protocol (generate_samples_batch.py:143, dalle_spec.py:205-223)."""
+    parts = sample_type.split(",") if sample_type else [""]
+    head = parts[0]
+    filter_fn = None
+    if head.startswith("top"):
+        if head.endswith("r"):
+            filter_fn = partial(truncate_top_r, r=float(head[3:-1]))
+        elif head.endswith("p"):
+            filter_fn = partial(truncate_top_k, k=int(head[3:-1]))
+        else:
+            raise ValueError(f"bad sample_type head: {head!r}")
+    skip_step = 0
+    for p in parts[1:]:
+        if p.startswith("fast"):
+            skip_step = int(p[4:])
+        elif p.startswith("q"):
+            raise NotImplementedError("q-resample sampling variant")
+    return filter_fn, skip_step
+
+
+@register(
+    "text_to_sound_synthesis_tpu.models.Diffsound",
+    "sound_synthesis.modeling.models.dalle_spec.DALLE",
+)
+class Diffsound:
+    def __init__(
+        self,
+        *,
+        content_codec_config: Mapping[str, Any],
+        condition_codec_config: Mapping[str, Any],
+        diffusion_config: Mapping[str, Any],
+        first_stage_permuter_config: Optional[Mapping[str, Any]] = None,
+        content_info: Mapping[str, Any] = {"key": "image"},
+        condition_info: Mapping[str, Any] = {"key": "text"},
+        dtype=jnp.float32,
+    ):
+        self.content_info = dict(content_info)
+        self.condition_info = dict(condition_info)
+        self.codec: VQModel = instantiate_from_config(
+            {**content_codec_config, "params": {**(content_codec_config.get("params") or {}), "dtype": dtype}}
+        )
+        self.text_codec: Tokenize = instantiate_from_config(condition_codec_config)
+
+        dcfg = dict(diffusion_config.get("params") or {})
+        cond_cfg = dcfg.pop("condition_emb_config", None)
+        self.cond: Optional[CLIPTextEmbedding] = (
+            instantiate_from_config(
+                {**cond_cfg, "params": {**(cond_cfg.get("params") or {}), "dtype": dtype}}
+            )
+            if cond_cfg
+            else None
+        )
+        self.diffusion: DiscreteDiffusion = instantiate_from_config(
+            {"target": diffusion_config["target"], "params": {**dcfg, "dtype": dtype}}
+        )
+        if first_stage_permuter_config:
+            self.permuter = instantiate_from_config(first_stage_permuter_config)
+        else:
+            self.permuter = permuter_ops.Identity()
+
+        H, W = self.diffusion._emb_params().get("spatial_size", (5, 53))
+        self.token_hw = (int(H), int(W))
+
+    # -- initialization ------------------------------------------------------
+
+    def init_params(self, key: jax.Array, mel_shape=(1, 80, 848, 1)) -> dict:
+        """Random init of all three param trees (real runs overwrite codec/cond
+        from converted reference checkpoints)."""
+        k1, k2, k3 = jax.random.split(key, 3)
+        codec_params = self.codec.init(k1, jnp.zeros(mel_shape))
+        ctx = self.cond.context_length if self.cond else 77
+        cond_dim = self.cond.width if self.cond else 512
+        cond_params = (
+            self.cond.init(k2, jnp.zeros((1, ctx), jnp.int32)) if self.cond else None
+        )
+        L = self.diffusion.content_seq_len
+        diff_params = self.diffusion.init(
+            k3, jnp.zeros((1, L), jnp.int32), jnp.zeros((1, ctx, cond_dim)), jnp.zeros((1,), jnp.int32)
+        )
+        return {"codec": codec_params, "cond": cond_params, "diffusion": diff_params}
+
+    # -- tokenization paths (prepare_input equivalents) ----------------------
+
+    def text_to_tokens(self, texts: Sequence[str]) -> dict:
+        """Host-side BPE: captions -> {'token': (B,77) int32, 'mask': ...}."""
+        return self.text_codec.get_tokens(texts)
+
+    def encode_content(self, params, mel: jnp.ndarray) -> jnp.ndarray:
+        """mel (B, H, W, 1) in [-1,1] -> (B, L) permuted token ids
+        (DALLE.get_tokens, dalle_spec.py:71-78)."""
+        indices = self.codec.apply(params["codec"], mel, method=self.codec.encode_indices)
+        flat = indices.reshape(indices.shape[0], -1)
+        return self.permuter(flat)
+
+    def decode_tokens(self, params, tokens: jnp.ndarray) -> jnp.ndarray:
+        """(B, L) permuted token ids -> mel (B, H, W, 1) in [-1,1]
+        (DALLE.decode_to_img, dalle_spec.py:80-91)."""
+        H, W = self.token_hw
+        grid = self.permuter(tokens, reverse=True).reshape(-1, H, W)
+        return self.codec.apply(params["codec"], grid, method=self.codec.decode_code)
+
+    def embed_condition(self, params, cond_tokens: jnp.ndarray) -> jnp.ndarray:
+        """(B, 77) BPE ids -> frozen CLIP features (B, 77, 512)."""
+        return self.cond.apply(params["cond"], cond_tokens)
+
+    # -- training ------------------------------------------------------------
+
+    def loss(self, params, key, mel, cond_tokens, t, pt, *, is_train=True):
+        """Full training loss: encode content (frozen), embed text (frozen),
+        diffusion VLB. Returns DiffusionLossOutput."""
+        tokens = jax.lax.stop_gradient(self.encode_content(params, mel))
+        cond_emb = jax.lax.stop_gradient(self.embed_condition(params, cond_tokens))
+        return self.diffusion.apply(
+            params["diffusion"], key, tokens, cond_emb, t, pt,
+            is_train=is_train, method=self.diffusion.train_loss,
+            rngs={"dropout": key} if is_train else None,
+        )
+
+    # -- inference -----------------------------------------------------------
+
+    def generate(
+        self,
+        params,
+        key: jax.Array,
+        cond_tokens: jnp.ndarray,
+        *,
+        sample_type: str = "top0.85r",
+        filter_ratio: float = 0.0,
+        content_tokens: Optional[jnp.ndarray] = None,
+        return_tokens: bool = False,
+    ):
+        """text tokens -> mel (B, H, W, 1) in [-1, 1]. Jittable (static
+        sample_type/filter_ratio). DALLE.generate_content equivalent."""
+        filter_fn, skip_step = parse_sample_type(sample_type)
+        cond_emb = self.embed_condition(params, cond_tokens)
+        tokens = sample_tokens(
+            self.diffusion, params["diffusion"], key, cond_emb,
+            content_tokens=content_tokens, filter_ratio=filter_ratio,
+            skip_step=skip_step, filter_fn=filter_fn,
+        )
+        mel = self.decode_tokens(params, tokens)
+        if return_tokens:
+            return mel, tokens
+        return mel
+
+    def reconstruct(self, params, mel: jnp.ndarray) -> jnp.ndarray:
+        """Codec round-trip (DALLE.reconstruct, dalle_spec.py:249-261)."""
+        return self.decode_tokens(params, self.encode_content(params, mel))
+
+
+def build_model(config: Mapping[str, Any]) -> Diffsound:
+    """``build_model(config['model'])`` equivalent of
+    ``Diffsound/sound_synthesis/modeling/build.py:4-5``."""
+    model_cfg = config.get("model", config)
+    return instantiate_from_config(model_cfg)

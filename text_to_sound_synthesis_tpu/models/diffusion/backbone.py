@@ -161,8 +161,7 @@ class Text2SpecTransformer(nn.Module):
             raise NotImplementedError("only the selfcross denoiser is supported")
         emb_params = dict((self.content_emb_config or {}).get("params", {}))
         emb_params.setdefault("spatial_size", tuple(self.content_spatial_size))
-        emb_params.pop("trainable", None)
-        emb_params.pop("pos_emb_type", None)
+        emb_params["spatial_size"] = tuple(emb_params["spatial_size"])
         self.content_emb = ContentEmbedding(dtype=self.dtype, **emb_params)
         block = SelfCrossBlock
         if self.checkpoint:
