@@ -1,0 +1,69 @@
+"""Checkpoint save/resume via orbax.
+
+Parity target: the reference's single-file torch.save dict
+(``solver_spec.py:336-447``): {last_epoch, last_iter, model, ema,
+optimizer_and_scheduler} written to ``checkpoint/last.pth`` + epoch-tagged
+copies, tolerant partial restore. Here: orbax PyTree checkpoints with the same
+"last" + "<epoch>e_<iter>iter" naming, plus a JSON sidecar for host-side
+scheduler state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+__all__ = ["save_checkpoint", "restore_checkpoint", "latest_checkpoint"]
+
+
+def _ckptr():
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(ckpt_dir: str, name: str, state, host_state: Optional[dict] = None) -> str:
+    """Save a device pytree + host sidecar under ckpt_dir/name."""
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    _ckptr().save(path, jax.device_get(state), force=True)
+    if host_state is not None:
+        with open(path + ".host.json", "w") as f:
+            json.dump(host_state, f)
+    return path
+
+
+def restore_checkpoint(ckpt_dir: str, name: str, template=None):
+    """Returns (state, host_state or None); ``template`` restores with the
+    original pytree structure/dtypes when provided."""
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    if template is not None:
+        state = _ckptr().restore(path, item=jax.device_get(template))
+    else:
+        state = _ckptr().restore(path)
+    host_state = None
+    if os.path.exists(path + ".host.json"):
+        with open(path + ".host.json") as f:
+            host_state = json.load(f)
+    return state, host_state
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """'last' if present, else the highest-iteration tagged checkpoint."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    if os.path.isdir(os.path.join(ckpt_dir, "last")):
+        return "last"
+    tagged = [d for d in os.listdir(ckpt_dir) if d.endswith("iter") and
+              os.path.isdir(os.path.join(ckpt_dir, d))]
+    if not tagged:
+        return None
+
+    def iter_of(d: str) -> int:
+        try:
+            return int(d.split("_")[-1].replace("iter", ""))
+        except ValueError:
+            return -1
+
+    return max(tagged, key=iter_of)

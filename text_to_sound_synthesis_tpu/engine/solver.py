@@ -1,0 +1,248 @@
+"""Stage-2 training solver: epoch loop, scheduling, EMA, checkpoints, sampling.
+
+Parity target: ``Solver`` (``Diffsound/sound_synthesis/engine/solver_spec.py:36-596``):
+lr policies none/sqrt/linear, optimizer+scheduler from the config list, EMA,
+windowed grad clip, per-iteration plateau scheduler stepping on the train loss,
+periodic in-training sampling, epoch/iteration checkpoints with auto-resume,
+validation with loss averaging, and the per-timestep accuracy EMAs
+(``diffusion_acc_list``/``diffusion_keep_list``).
+
+TPU-native: one jitted SPMD train step over the device mesh (engine/train_state.py)
+— no DDP, no GradScaler (bf16 needs no loss scaling), no .cuda() shuffling.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Any, Mapping, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.diffsound import Diffsound
+from ..parallel.mesh import make_mesh, shard_batch
+from ..utils.config import instantiate_from_config
+from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from .logger import Logger
+from .optimizers import build_optimizer
+from .schedulers import ReduceLROnPlateauWithWarmup
+from .train_state import DiffusionTrainState, make_train_step
+
+__all__ = ["Solver"]
+
+
+class Solver:
+    def __init__(
+        self,
+        config: Mapping[str, Any],
+        model: Diffsound,
+        dataloader: Mapping[str, Any],
+        logger: Logger,
+        *,
+        params: Optional[dict] = None,
+        mesh=None,
+        seed: int = 0,
+    ):
+        """``dataloader``: {'train_loader': iterable-of-batches factory or
+        iterable, 'train_iterations': int, 'validation_loader': optional, ...}
+        (matches data/build.py's output schema)."""
+        self.config = dict(config)
+        solver_cfg = self.config["solver"]
+        self.model = model
+        self.dataloader = dataloader
+        self.logger = logger
+        self.mesh = mesh or make_mesh()
+        self.max_epochs = int(solver_cfg["max_epochs"])
+        self.save_epochs = int(solver_cfg.get("save_epochs", 30))
+        self.validation_epochs = int(solver_cfg.get("validation_epochs", 400))
+        self.sample_iterations = solver_cfg.get("sample_iterations", "epoch")
+        if self.sample_iterations == "epoch":
+            self.sample_iterations = int(dataloader.get("train_iterations", 1))
+
+        # lr policy (solver_spec.py:69-79)
+        base_lr = float(solver_cfg.get("base_lr", 3e-6))
+        adjust = solver_cfg.get("adjust_lr", "none")
+        world_batch = int(self.config.get("dataloader", {}).get("batch_size", 1)) * jax.device_count()
+        if adjust == "none":
+            self.base_lr = base_lr
+        elif adjust == "sqrt":
+            self.base_lr = base_lr * math.sqrt(world_batch)
+        elif adjust == "linear":
+            self.base_lr = base_lr * world_batch
+        else:
+            raise NotImplementedError(f"adjust_lr {adjust!r}")
+
+        # optimizer + scheduler (first entry of the config list; the reference's
+        # multi-optimizer epoch gating is unused in every released config)
+        oas = solver_cfg["optimizers_and_schedulers"][0]
+        self.tx = build_optimizer(oas["optimizer"], self.base_lr)
+        sched_cfg = oas.get("scheduler")
+        if sched_cfg is not None:
+            self.scheduler = instantiate_from_config(sched_cfg, base_lr=self.base_lr)
+            self.scheduler_step_iteration = int(sched_cfg.get("step_iteration", 1))
+        else:
+            self.scheduler = None
+            self.scheduler_step_iteration = 1
+
+        clip_cfg = solver_cfg.get("clip_grad_norm")
+        self.clip_grad = instantiate_from_config(clip_cfg) if clip_cfg else None
+
+        ema_cfg = solver_cfg.get("ema") or {}
+        self.ema_decay = float(ema_cfg.get("decay", 0.99))
+        self.ema_interval = int(ema_cfg.get("update_interval", 25))
+        with_ema = bool(ema_cfg) if ema_cfg is not None else False
+
+        # params: full tree {'codec','cond','diffusion'}
+        key = jax.random.PRNGKey(seed)
+        self.rng = jax.random.PRNGKey(seed + 1)
+        if params is None:
+            params = model.init_params(key)
+        self.frozen = {"codec": params["codec"], "cond": params["cond"]}
+        self.state = DiffusionTrainState.create(
+            params["diffusion"], self.tx,
+            num_timesteps=model.diffusion.diffusion_step, with_ema=with_ema,
+        )
+
+        self.train_step = make_train_step(
+            model, self.tx, self.clip_grad,
+            ema_decay=self.ema_decay, ema_interval=self.ema_interval,
+        )
+
+        self.last_epoch = -1
+        # per-timestep accuracy EMAs (diffusion_transformer.py:221-222, 427-436)
+        T = model.diffusion.diffusion_step
+        self.diffusion_acc_list = [0.0] * T
+        self.diffusion_keep_list = [0.0] * T
+
+    # -- checkpointing -------------------------------------------------------
+
+    def save(self, epoch: int, force: bool = False) -> None:
+        if not self.logger.is_primary:
+            return
+        it = int(jax.device_get(self.state.step))
+        host = {
+            "last_epoch": epoch,
+            "last_iter": it,
+            "scheduler": self.scheduler.state_dict() if self.scheduler else None,
+            "acc_lists": [self.diffusion_acc_list, self.diffusion_keep_list],
+        }
+        payload = {"state": self.state, "frozen": self.frozen}
+        save_checkpoint(self.logger.ckpt_dir, "last", payload, host)
+        if force or (epoch + 1) % self.save_epochs == 0:
+            save_checkpoint(self.logger.ckpt_dir, f"{epoch}e_{it}iter", payload, host)
+        self.logger.log_info(f"saved checkpoint at epoch {epoch}, iter {it}")
+
+    def resume(self, name: Optional[str] = None) -> bool:
+        name = name or latest_checkpoint(self.logger.ckpt_dir)
+        if name is None:
+            return False
+        template = {"state": self.state, "frozen": self.frozen}
+        payload, host = restore_checkpoint(self.logger.ckpt_dir, name, template)
+        self.state = jax.tree_util.tree_map(jnp.asarray, payload["state"])
+        # restore as a DiffusionTrainState (orbax returns plain dicts for
+        # structs saved via device_get when template preserved -> already typed)
+        self.frozen = jax.tree_util.tree_map(jnp.asarray, payload["frozen"])
+        if host:
+            self.last_epoch = int(host.get("last_epoch", -1))
+            if self.scheduler and host.get("scheduler"):
+                self.scheduler.load_state_dict(host["scheduler"])
+            acc = host.get("acc_lists")
+            if acc:
+                self.diffusion_acc_list, self.diffusion_keep_list = acc
+        self.logger.log_info(f"resumed from checkpoint {name!r} (epoch {self.last_epoch})")
+        return True
+
+    # -- training ------------------------------------------------------------
+
+    def _host_update_acc(self, metrics) -> None:
+        t = np.asarray(metrics.t)
+        a0 = np.asarray(metrics.acc_x0)
+        ak = np.asarray(metrics.acc_keep)
+        for i in range(len(t)):
+            ti = int(t[i])
+            self.diffusion_acc_list[ti] = float(a0[i]) * 0.1 + self.diffusion_acc_list[ti] * 0.9
+            self.diffusion_keep_list[ti] = float(ak[i]) * 0.1 + self.diffusion_keep_list[ti] * 0.9
+
+    def train_epoch(self, epoch: int, log_frequency: int = 100) -> float:
+        loader = self.dataloader["train_loader"]
+        itr_start = time.time()
+        last_loss = float("nan")
+        for i, batch in enumerate(loader):
+            data_time = time.time() - itr_start
+            batch = shard_batch(self._to_model_batch(batch), self.mesh)
+            self.rng, step_key = jax.random.split(self.rng)
+            lr = self.scheduler.lr if self.scheduler else self.base_lr
+            self.state, metrics = self.train_step(self.state, self.frozen, batch, step_key, lr)
+            loss = float(jax.device_get(metrics.loss))
+            last_loss = loss
+            if self.scheduler and (i % self.scheduler_step_iteration == 0):
+                self.scheduler.step(loss)
+            self._host_update_acc(metrics)
+            if i % log_frequency == 0:
+                it = int(jax.device_get(self.state.step))
+                iter_time = time.time() - itr_start
+                gn = float(jax.device_get(metrics.grad_norm))
+                self.logger.log_info(
+                    f"e{epoch} it{it} loss {loss:.5f} lr {lr:.3e} gnorm {gn:.3f} "
+                    f"data_time {data_time:.3f}s iter_time {iter_time:.3f}s"
+                )
+                self.logger.add_scalar("train/loss", loss, it)
+                self.logger.add_scalar("train/lr", lr, it)
+                self.logger.add_scalar("train/grad_norm", gn, it)
+            itr_start = time.time()
+        return last_loss
+
+    def _to_model_batch(self, batch: Mapping[str, Any]) -> dict:
+        """Dataset batches carry {'image': mel01 (B,1,H,W) or (B,H,W,1), 'text': [str]}.
+        Tokenize text host-side; mels -> NHWC in [-1, 1]."""
+        out = {}
+        mel = np.asarray(batch[self.model.content_info["key"]], dtype=np.float32)
+        if mel.ndim == 4 and mel.shape[1] in (1,):  # NCHW -> NHWC
+            mel = np.transpose(mel, (0, 2, 3, 1))
+        elif mel.ndim == 3:
+            mel = mel[..., None]
+        out[self.model.content_info["key"]] = mel
+        if "condition_token" in batch:
+            out["condition_token"] = np.asarray(batch["condition_token"], np.int32)
+        else:
+            text = batch[self.model.condition_info["key"]]
+            out["condition_token"] = self.model.text_to_tokens(list(text))["token"]
+        return out
+
+    def validate_epoch(self, epoch: int) -> Optional[float]:
+        loader = self.dataloader.get("validation_loader")
+        if loader is None:
+            return None
+        losses = []
+        params = {"codec": self.frozen["codec"], "cond": self.frozen["cond"],
+                  "diffusion": self.state.ema_params if self.state.ema_params is not None else self.state.params}
+        T = self.model.diffusion.diffusion_step
+        for batch in loader:
+            b = shard_batch(self._to_model_batch(batch), self.mesh)
+            self.rng, k1, k2 = jax.random.split(self.rng, 3)
+            B = b[self.model.content_info["key"]].shape[0]
+            t = jax.random.randint(k1, (B,), 0, T)
+            pt = jnp.full((B,), 1.0 / T)
+            out = self.model.loss(params, k2, b[self.model.content_info["key"]],
+                                  b["condition_token"], t, pt, is_train=False)
+            losses.append(float(jax.device_get(out.loss)))
+        val = float(np.mean(losses)) if losses else None
+        if val is not None:
+            self.logger.log_info(f"validation epoch {epoch}: loss {val:.5f}")
+            self.logger.add_scalar("val/loss", val, int(jax.device_get(self.state.step)))
+        return val
+
+    def train(self) -> None:
+        start_epoch = self.last_epoch + 1
+        for epoch in range(start_epoch, self.max_epochs):
+            t0 = time.time()
+            self.train_epoch(epoch)
+            self.logger.log_info(f"epoch {epoch} done in {time.time() - t0:.1f}s")
+            self.last_epoch = epoch
+            self.save(epoch, force=False)
+            if (epoch + 1) % self.validation_epochs == 0:
+                self.validate_epoch(epoch)
+        self.save(self.max_epochs - 1, force=True)
