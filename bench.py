@@ -1,0 +1,123 @@
+"""Headline benchmark: AudioCaps 10 s clips/sec/chip, 100-step Diffsound sampler.
+
+BASELINE config 4: "Diffsound 100-step discrete diffusion sampling, batch 8
+AudioCaps captions" — the full production pipeline minus host text BPE:
+flagship denoiser (19L x 1024d, bf16 activations) driven through the fused
+100-step ``lax.scan`` reverse sampler with top-0.85r truncation, followed by the
+VQGAN decode to an 80x848 mel. Random weights (throughput is weight-agnostic).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the repo publishes no reference numbers (BASELINE.md); the divisor
+is an engineering estimate of the PyTorch reference on one H100 — 22.8 TFLOP
+per clip (100 steps x 19-layer/1024d forward over 265+77 tokens) in eager fp32
+with a Python-loop sampler (~30% effective utilization + launch overhead)
+=> ~3.0 clips/sec. Replace when a measured reference lands.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+H100_REFERENCE_CLIPS_PER_SEC = 3.0
+BATCH = 8
+STEPS = 100
+TIMED_ITERS = 3
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from text_to_sound_synthesis_tpu.models.diffusion import (
+        DiscreteDiffusion,
+        sample_tokens,
+    )
+    from text_to_sound_synthesis_tpu.models.vqgan import VQModel
+    from text_to_sound_synthesis_tpu.ops.sampling import truncate_top_r
+    from functools import partial
+
+    dev = jax.devices()[0]
+    print(f"bench device: {dev}", file=sys.stderr)
+
+    denoiser = DiscreteDiffusion(
+        transformer_config={
+            "params": dict(
+                n_layer=19, n_embd=1024, n_head=16, content_seq_len=265,
+                condition_dim=512, content_spatial_size=(5, 53),
+                block_activate="GELU2",
+            )
+        },
+        content_emb_config={"params": dict(num_embed=256, embed_dim=1024,
+                                           spatial_size=(5, 53))},
+        diffusion_step=STEPS,
+        dtype=jnp.bfloat16,
+    )
+    codec = VQModel(
+        ddconfig=dict(double_z=False, z_channels=256, resolution=848,
+                      in_channels=1, out_ch=1, ch=128, ch_mult=[1, 1, 2, 2, 4],
+                      num_res_blocks=2, attn_resolutions=[53], dropout=0.0),
+        n_embed=256, embed_dim=256, dtype=jnp.bfloat16,
+    )
+
+    try:  # persistent compile cache: later rounds skip the big first compile
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    except Exception:
+        pass
+
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    tokens0 = jnp.zeros((1, 265), jnp.int32)
+    cond0 = jnp.zeros((1, 77, 512), jnp.float32)
+    t0 = time.time()
+    # zeros via eval_shape: throughput is data-independent on TPU and this skips
+    # an expensive random-init compile.
+    dshapes = jax.eval_shape(lambda: denoiser.init(k1, tokens0, cond0, jnp.zeros((1,), jnp.int32)))
+    cshapes = jax.eval_shape(lambda: codec.init(k2, jnp.zeros((1, 80, 848, 1))))
+    mk = lambda s: jnp.zeros(s.shape, s.dtype)
+    dparams = jax.tree_util.tree_map(mk, dshapes)
+    cparams = jax.tree_util.tree_map(mk, cshapes)
+    print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    filt = partial(truncate_top_r, r=0.85)
+
+    @jax.jit
+    def generate(dparams, cparams, key, cond_emb):
+        toks = sample_tokens(denoiser, dparams, key, cond_emb, filter_fn=filt)
+        grid = toks.reshape(-1, 53, 5).swapaxes(1, 2)  # reverse ColumnMajor
+        return codec.apply(cparams, grid, method=codec.decode_code)
+
+    cond = jax.random.normal(jax.random.PRNGKey(7), (BATCH, 77, 512), jnp.float32)
+    cond = cond / jnp.linalg.norm(cond, axis=-1, keepdims=True)
+
+    import numpy as np
+
+    t0 = time.time()
+    out = np.asarray(generate(dparams, cparams, jax.random.PRNGKey(1), cond))
+    print(f"compile+first run: {time.time() - t0:.1f}s; mel {out.shape}", file=sys.stderr)
+
+    # NOTE: sync via host transfer — block_until_ready can return early through
+    # the axon relay; np.asarray forces a real device round trip.
+    t0 = time.time()
+    for i in range(TIMED_ITERS):
+        out = np.asarray(generate(dparams, cparams, jax.random.PRNGKey(2 + i), cond))
+    elapsed = time.time() - t0
+
+    clips_per_sec = BATCH * TIMED_ITERS / elapsed
+    print(
+        f"{BATCH * TIMED_ITERS} clips in {elapsed:.2f}s "
+        f"({elapsed / (BATCH * TIMED_ITERS) * 1000:.0f} ms/clip)",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "audiocaps_10s_clips_per_sec_per_chip_100step",
+        "value": round(clips_per_sec, 3),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(clips_per_sec / H100_REFERENCE_CLIPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
