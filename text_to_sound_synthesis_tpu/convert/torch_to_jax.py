@@ -1,0 +1,353 @@
+"""PyTorch -> JAX checkpoint conversion for the released reference artifacts.
+
+Converts the reference's released weights into our flax param trees:
+
+* Stage-1 SpecVQGAN ``.ckpt`` (PyTorch-Lightning ``state_dict``) -> ``VQModel``
+* OpenAI CLIP ``ViT-B/32.pt`` text tower -> ``CLIPTextEmbedding``
+* MelGAN ``best_netG.pt`` (weight-normalized) -> ``MelGANGenerator``
+  (weight norm folded into plain kernels at conversion, SURVEY.md §7 phase 0)
+* Stage-2 Diffsound ``.pth`` (``ckpt['model']`` / ``ckpt['ema']``) ->
+  ``DiscreteDiffusion`` (+ codec + CLIP trees extracted from the same file)
+
+Layout rules (verified numerically in tests/test_convert.py):
+* Linear:          torch (out, in)        -> kernel (in, out)
+* Conv2d:          torch (O, I, kH, kW)   -> kernel (kH, kW, I, O)   [NHWC/HWIO]
+* Conv1d:          torch (O, I, k)        -> kernel (k, I, O)        [NWC/WIO]
+* ConvTranspose1d: torch (I, O, k)        -> kernel (k, O, I)  (our module flips
+  and transposes internally; see models/melgan/generator.py)
+* weight-norm:     w = g * v / ||v||  (norm over all dims except 0)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, Mapping
+
+import numpy as np
+
+__all__ = [
+    "load_torch_state_dict",
+    "convert_vqgan",
+    "convert_clip_text",
+    "convert_melgan_generator",
+    "convert_diffusion",
+    "convert_diffsound_checkpoint",
+]
+
+
+def load_torch_state_dict(path: str, key: str | None = None) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint into a flat {name: float32 ndarray} dict.
+
+    ``key`` selects a sub-dict ('state_dict' for PL, 'model'/'ema' for the
+    Stage-2 solver checkpoints).
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if key is not None:
+        obj = obj[key]
+    elif isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    out = {}
+    for name, tensor in obj.items():
+        if hasattr(tensor, "detach"):
+            out[name] = tensor.detach().to(torch.float32).numpy()
+    return out
+
+
+# -- layout helpers ----------------------------------------------------------
+
+def _linear(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.T)
+
+
+def _conv2d(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _conv1d(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(w, (2, 1, 0)))
+
+
+def _convtranspose1d(w: np.ndarray) -> np.ndarray:
+    # torch (I, O, k) -> ours (k, O, I)
+    return np.ascontiguousarray(np.transpose(w, (2, 1, 0)))
+
+
+def fold_weight_norm(sd: Mapping[str, np.ndarray], base: str) -> np.ndarray:
+    """weight_g/weight_v -> plain weight (torch weight_norm, dim=0)."""
+    if base + ".weight" in sd:
+        return sd[base + ".weight"]
+    g = sd[base + ".weight_g"]
+    v = sd[base + ".weight_v"]
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt((v**2).sum(axis=axes, keepdims=True))
+    return g * v / np.maximum(norm, 1e-12)
+
+
+class _Filler:
+    """Fills a flax param tree by path-driven lookup into a torch state dict."""
+
+    def __init__(self, sd: Mapping[str, np.ndarray]):
+        self.sd = dict(sd)
+        self.used: set = set()
+
+    def get(self, torch_name: str, transform: Callable[[np.ndarray], np.ndarray] | None = None) -> np.ndarray:
+        if torch_name not in self.sd:
+            raise KeyError(f"torch checkpoint has no tensor {torch_name!r}")
+        self.used.add(torch_name)
+        w = self.sd[torch_name]
+        return (transform(w) if transform else w).astype(np.float32)
+
+    def fill(self, params: Any, rule: Callable[[tuple, np.ndarray], np.ndarray]) -> Any:
+        import jax
+
+        def one(path, leaf):
+            names = tuple(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+            new = rule(names, leaf)
+            if new.shape != leaf.shape:
+                raise ValueError(f"shape mismatch at {'/'.join(names)}: "
+                                 f"converted {new.shape} vs model {leaf.shape}")
+            return new.astype(np.asarray(leaf).dtype)
+
+        return jax.tree_util.tree_map_with_path(one, params)
+
+
+# -- SpecVQGAN ---------------------------------------------------------------
+
+def convert_vqgan(sd: Mapping[str, np.ndarray], params: Any, prefix: str = "") -> Any:
+    """Fill a VQModel param tree from a SpecVQGAN state dict."""
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    filler = _Filler(sd)
+
+    def rule(names, leaf):
+        # our structural names: down_{i}_block_{j}, down_{i}_attn_{j},
+        # down_{i}_downsample, mid_block_1, mid_attn_1, norm_out, conv_in/out
+        torch_name, tf = _translate_vqgan(names)
+        return filler.get(torch_name, tf)
+
+    return filler.fill(params, rule)
+
+
+def _translate_vqgan(names: tuple) -> tuple[str, Callable | None]:
+    ns = [n for n in names if n != "params"]
+    leaf = ns[-1]
+    path = ns[:-1]
+
+    segs = []
+    for n in path:
+        if n in ("encoder", "decoder", "quantize", "quant_conv", "post_quant_conv"):
+            segs.append(n)
+        elif n.startswith("down_") or n.startswith("up_"):
+            # down_{i}_block_{j} -> down.{i}.block.{j}; down_{i}_downsample ->
+            # down.{i}.downsample (same for up_/upsample)
+            segs.append(n.replace("_", "."))
+        elif n.startswith("mid_"):
+            segs.append("mid." + n[len("mid_"):])
+        elif (
+            n == "norm"
+            and segs
+            and segs[-1].split(".")[-1] in ("norm", "norm1", "norm2", "norm_out")
+        ):  # GroupNorm32's inner nn.GroupNorm level — transparent
+            continue
+        else:
+            segs.append(n)
+
+    if segs and segs[0] == "quantize":
+        return "quantize.embedding.weight", None
+    base = ".".join(segs)
+    if leaf == "kernel":
+        return base + ".weight", _conv2d
+    if leaf == "scale":
+        return base + ".weight", None
+    if leaf == "bias":
+        return base + ".bias", None
+    raise KeyError(f"unmapped vqgan param {'/'.join(ns)}")
+
+
+# -- CLIP text tower ---------------------------------------------------------
+
+def convert_clip_text(sd: Mapping[str, np.ndarray], params: Any, prefix: str = "") -> Any:
+    """Fill CLIPTextEmbedding params from a CLIP (or Diffsound condition_emb)
+    state dict. Handles both full-CLIP names (``transformer.resblocks.N...``)
+    and the wrapper's flattened names."""
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    filler = _Filler(sd)
+
+    def rule(names, leaf):
+        ns = [n for n in names if n != "params"]
+        if ns[0] == "text":
+            ns = ns[1:]
+        if ns[0] == "token_embedding":
+            return filler.get("token_embedding.weight")
+        if ns[0] == "positional_embedding":
+            return filler.get("positional_embedding")
+        if ns[0] == "text_projection":
+            return filler.get("text_projection")
+        if ns[0] == "ln_final":
+            return filler.get(f"ln_final.{'weight' if ns[-1] == 'scale' else 'bias'}")
+        if ns[0].startswith("resblock_"):
+            i = ns[0].split("_")[1]
+            base = f"transformer.resblocks.{i}"
+            sub, leaf_name = ns[1], ns[-1]
+            if sub in ("ln_1", "ln_2"):
+                return filler.get(f"{base}.{sub}.{'weight' if leaf_name == 'scale' else 'bias'}")
+            if sub == "attn_in_proj":
+                if leaf_name == "kernel":
+                    return _linear(filler.get(f"{base}.attn.in_proj_weight"))
+                return filler.get(f"{base}.attn.in_proj_bias")
+            if sub == "attn_out_proj":
+                if leaf_name == "kernel":
+                    return _linear(filler.get(f"{base}.attn.out_proj.weight"))
+                return filler.get(f"{base}.attn.out_proj.bias")
+            if sub == "mlp_c_fc":
+                t = "weight" if leaf_name == "kernel" else "bias"
+                w = filler.get(f"{base}.mlp.c_fc.{t}")
+                return _linear(w) if leaf_name == "kernel" else w
+            if sub == "mlp_c_proj":
+                t = "weight" if leaf_name == "kernel" else "bias"
+                w = filler.get(f"{base}.mlp.c_proj.{t}")
+                return _linear(w) if leaf_name == "kernel" else w
+        raise KeyError(f"unmapped clip param {'/'.join(ns)}")
+
+    return filler.fill(params, rule)
+
+
+# -- MelGAN generator --------------------------------------------------------
+
+def convert_melgan_generator(
+    sd: Mapping[str, np.ndarray], params: Any,
+    ratios=(8, 8, 2, 2), n_residual_layers: int = 3, prefix: str = "",
+) -> Any:
+    """Fold weight norm and map the reference's flat ``model.N`` Sequential
+    indices onto our named modules (vocoder/modules.py:95-126 layout)."""
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    # Sequential index map
+    index_of: Dict[str, int] = {"conv_in": 1}
+    idx = 2
+    for i, _r in enumerate(ratios):
+        idx += 1  # LeakyReLU
+        index_of[f"up_{i}"] = idx
+        idx += 1
+        for j in range(n_residual_layers):
+            index_of[f"res_{i}_{j}"] = idx
+            idx += 1
+    idx += 2  # LeakyReLU, ReflectionPad
+    index_of["conv_out"] = idx
+
+    def rule(names, leaf_val):
+        ns = [n for n in names if n != "params"]
+        mod, leaf = ns[0], ns[-1]
+        if mod.startswith("res_"):
+            seq = index_of[mod]
+            sub = ns[1]
+            tbase = {
+                "conv1": f"model.{seq}.block.2",
+                "conv2": f"model.{seq}.block.4",
+                "shortcut": f"model.{seq}.shortcut",
+            }[sub]
+            if leaf == "kernel":
+                return _conv1d(fold_weight_norm(sd, tbase))
+            return sd[tbase + ".bias"]
+        seq = index_of[mod]
+        tbase = f"model.{seq}"
+        if mod.startswith("up_"):
+            if leaf == "kernel":
+                return _convtranspose1d(fold_weight_norm(sd, tbase))
+            return sd[tbase + ".bias"]
+        if leaf == "kernel":
+            return _conv1d(fold_weight_norm(sd, tbase))
+        return sd[tbase + ".bias"]
+
+    import jax
+
+    def one(path, leaf):
+        names = tuple(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+        new = np.asarray(rule(names, leaf), dtype=np.float32)
+        if new.shape != leaf.shape:
+            raise ValueError(f"melgan shape mismatch at {'/'.join(names)}: {new.shape} vs {leaf.shape}")
+        return new
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+# -- Diffsound Stage-2 transformer ------------------------------------------
+
+def convert_diffusion(sd: Mapping[str, np.ndarray], params: Any,
+                      prefix: str = "transformer.") -> Any:
+    """Fill DiscreteDiffusion params from a Stage-2 checkpoint's
+    DiffusionTransformer entries. ``prefix`` strips the DALLE attribute path."""
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    filler = _Filler(sd)
+
+    def rule(names, leaf_val):
+        ns = [n for n in names if n != "params"]
+        assert ns[0] == "backbone", ns
+        ns = ns[1:]
+        leaf = ns[-1]
+        if ns[0] == "content_emb":
+            sub = ns[1]
+            return filler.get(f"transformer.content_emb.{sub}.weight")
+        if ns[0] == "norm_out":
+            return filler.get(f"transformer.to_logits.0.{'weight' if leaf == 'scale' else 'bias'}")
+        if ns[0] == "head":
+            w = filler.get(f"transformer.to_logits.1.{'weight' if leaf == 'kernel' else 'bias'}")
+            return _linear(w) if leaf == "kernel" else w
+        if ns[0].startswith("block_"):
+            i = ns[0].split("_")[1]
+            base = f"transformer.blocks.{i}"
+            sub = ns[1]
+            if sub in ("ln1", "ln1_1"):
+                if ns[2] == "emb":  # learned timestep embedding table
+                    return filler.get(f"{base}.{sub}.emb.weight")
+                w = filler.get(f"{base}.{sub}.linear.{'weight' if leaf == 'kernel' else 'bias'}")
+                return _linear(w) if leaf == "kernel" else w
+            if sub == "ln2":
+                return filler.get(f"{base}.ln2.{'weight' if leaf == 'scale' else 'bias'}")
+            if sub in ("attn1", "attn2"):
+                proj = ns[2]
+                w = filler.get(f"{base}.{sub}.{proj}.{'weight' if leaf == 'kernel' else 'bias'}")
+                return _linear(w) if leaf == "kernel" else w
+            if sub == "mlp_fc1":
+                w = filler.get(f"{base}.mlp.0.{'weight' if leaf == 'kernel' else 'bias'}")
+                return _linear(w) if leaf == "kernel" else w
+            if sub == "mlp_fc2":
+                w = filler.get(f"{base}.mlp.2.{'weight' if leaf == 'kernel' else 'bias'}")
+                return _linear(w) if leaf == "kernel" else w
+        raise KeyError(f"unmapped diffusion param {'/'.join(ns)}")
+
+    return filler.fill(params, rule)
+
+
+# -- full Stage-2 checkpoint -------------------------------------------------
+
+def convert_diffsound_checkpoint(path: str, model, params_template: dict,
+                                 prefer_ema: bool = True) -> dict:
+    """Released Diffsound ``.pth`` -> {'codec', 'cond', 'diffusion'} trees.
+
+    The file contains the whole DALLE state (content_codec.*, transformer.*
+    incl. the frozen CLIP condition_emb). Inference prefers EMA weights for the
+    transformer (generate_samples_batch.py:82-86).
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    model_sd = {k: v.detach().to(torch.float32).numpy()
+                for k, v in ckpt["model"].items() if hasattr(v, "detach")}
+    out = dict(params_template)
+    out["codec"] = convert_vqgan(model_sd, params_template["codec"], prefix="content_codec.")
+    out["cond"] = convert_clip_text(model_sd, params_template["cond"],
+                                    prefix="transformer.condition_emb.")
+    diff_sd = model_sd
+    if prefer_ema and "ema" in ckpt and ckpt["ema"]:
+        ema_sd = {k: v.detach().to(torch.float32).numpy()
+                  for k, v in ckpt["ema"].items() if hasattr(v, "detach")}
+        # the EMA tracks only the DiffusionTransformer (dalle_spec.py:68-69);
+        # its keys are unprefixed relative to DALLE.transformer
+        diff_sd = dict(model_sd)
+        for k, v in ema_sd.items():
+            diff_sd["transformer." + k] = v
+    out["diffusion"] = convert_diffusion(diff_sd, params_template["diffusion"],
+                                         prefix="transformer.")
+    return out

@@ -56,15 +56,24 @@ class SinusoidalTimeEmb(nn.Module):
 
 class AdaLayerNorm(nn.Module):
     """LayerNorm (no affine) modulated by scale/shift from the timestep
-    (transformer_utils.py:134-149)."""
+    (transformer_utils.py:134-149).
+
+    ``emb_type`` containing 'abs' selects the sinusoidal embedding; otherwise a
+    LEARNED nn.Embed(diffusion_step, n_embd) table — the production configs use
+    ``timestep_type: 'adalayernorm'`` (no 'abs'), i.e. the learned table.
+    """
 
     n_embd: int
     diffusion_step: int
+    emb_type: str = "adalayernorm"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-        emb = SinusoidalTimeEmb(self.diffusion_step, self.n_embd, name="emb")(t)
+        if "abs" in self.emb_type:
+            emb = SinusoidalTimeEmb(self.diffusion_step, self.n_embd, name="emb")(t)
+        else:
+            emb = nn.Embed(self.diffusion_step, self.n_embd, dtype=self.dtype, name="emb")(t)
         emb = nn.Dense(2 * self.n_embd, dtype=self.dtype, name="linear")(nn.silu(emb))
         scale, shift = jnp.split(emb[:, None, :], 2, axis=-1)
         x = nn.LayerNorm(use_bias=False, use_scale=False, dtype=self.dtype, name="layernorm")(x)
@@ -109,15 +118,18 @@ class SelfCrossBlock(nn.Module):
     resid_pdrop: float = 0.0
     mlp_hidden_times: int = 4
     activate: str = "GELU2"
+    timestep_type: str = "adalayernorm"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, cond, t, *, deterministic: bool = True):
-        h = AdaLayerNorm(self.n_embd, self.diffusion_step, self.dtype, name="ln1")(x, t)
+        h = AdaLayerNorm(self.n_embd, self.diffusion_step, self.timestep_type,
+                         self.dtype, name="ln1")(x, t)
         x = x + MultiHeadAttention(self.n_embd, self.n_head, self.attn_pdrop,
                                    self.resid_pdrop, self.dtype, name="attn1")(
             h, h, deterministic=deterministic)
-        h = AdaLayerNorm(self.n_embd, self.diffusion_step, self.dtype, name="ln1_1")(x, t)
+        h = AdaLayerNorm(self.n_embd, self.diffusion_step, self.timestep_type,
+                         self.dtype, name="ln1_1")(x, t)
         x = x + MultiHeadAttention(self.n_embd, self.n_head, self.attn_pdrop,
                                    self.resid_pdrop, self.dtype, name="attn2")(
             h, cond, deterministic=deterministic)
@@ -171,7 +183,8 @@ class Text2SpecTransformer(nn.Module):
                 n_embd=self.n_embd, n_head=self.n_head, diffusion_step=self.diffusion_step,
                 condition_dim=self.condition_dim, attn_pdrop=self.attn_pdrop,
                 resid_pdrop=self.resid_pdrop, mlp_hidden_times=self.mlp_hidden_times,
-                activate=self.block_activate, dtype=self.dtype, name=f"block_{i}",
+                activate=self.block_activate, timestep_type=self.timestep_type,
+                dtype=self.dtype, name=f"block_{i}",
             )
             for i in range(self.n_layer)
         ]

@@ -163,6 +163,10 @@ class DiscreteDiffusion(nn.Module):
         """Convenience forward = predict_start (used for init/jit warmup)."""
         return self.predict_start(tokens, cond_emb, t, deterministic=deterministic)
 
+    def backbone_logits(self, tokens, cond_emb, t, *, deterministic: bool = True):
+        """Raw denoiser logits (B, L, K-1) — conversion-parity hook."""
+        return self.backbone(tokens, cond_emb, t, deterministic=deterministic)
+
     # -- training loss -------------------------------------------------------
 
     def train_loss(
