@@ -320,6 +320,40 @@ def convert_diffusion(sd: Mapping[str, np.ndarray], params: Any,
     return filler.fill(params, rule)
 
 
+# -- Melception (torchvision Inception3, eval-mode BN folded) ----------------
+
+def convert_melception(sd: Mapping[str, np.ndarray], params: Any, prefix: str = "",
+                       bn_eps: float = 1e-3) -> Any:
+    """Fill Melception params from the released melception checkpoint
+    (``ckpt['model']`` with torchvision Inception3 names). Eval-mode BatchNorm
+    is folded: scale = gamma/sqrt(var+eps), shift = beta - mean*scale."""
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    filler = _Filler(sd)
+
+    def rule(names, leaf_val):
+        ns = [n for n in names if n != "params"]
+        leaf = ns[-1]
+        if ns[0] == "fc_kernel":
+            return _linear(filler.get("fc.weight"))
+        if ns[0] == "fc_bias":
+            return filler.get("fc.bias")
+        base = ".".join(ns[:-1])
+        if leaf == "kernel":  # inside a BasicConv2d named ".../conv"
+            assert ns[-2] == "conv"
+            return _conv2d(filler.get(base + ".weight"))
+        if leaf in ("bn_scale", "bn_shift"):
+            bnb = base + ".bn" if base else "bn"
+            gamma = filler.get(bnb + ".weight")
+            beta = filler.get(bnb + ".bias")
+            mean = filler.get(bnb + ".running_mean")
+            var = filler.get(bnb + ".running_var")
+            scale = gamma / np.sqrt(var + bn_eps)
+            return scale if leaf == "bn_scale" else beta - mean * scale
+        raise KeyError(f"unmapped melception param {'/'.join(ns)}")
+
+    return filler.fill(params, rule)
+
+
 # -- full Stage-2 checkpoint -------------------------------------------------
 
 def convert_diffsound_checkpoint(path: str, model, params_template: dict,
