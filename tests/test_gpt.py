@@ -1,0 +1,124 @@
+"""AR baseline tests: cached decode == full forward, fused sampler, Net2Net."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from text_to_sound_synthesis_tpu.models.gpt import GPT, GPTFeats, Net2NetTransformer, ar_sample
+
+GCFG = dict(vocab_size=12, block_size=18, n_layer=2, n_head=2, n_embd=16)
+
+
+@pytest.fixture(scope="module")
+def gpt_setup():
+    model = GPT(**GCFG)
+    idx = jnp.zeros((2, 5), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), idx)
+    return model, params
+
+
+def test_gpt_forward_shapes(gpt_setup, rng):
+    model, params = gpt_setup
+    idx = jnp.asarray(rng.integers(0, 12, (2, 7)), jnp.int32)
+    emb = jnp.asarray(rng.standard_normal((2, 2, 16)), jnp.float32)
+    out = model.apply(params, idx, emb)
+    assert out.shape == (2, 9, 12)
+
+
+def test_cached_decode_matches_full_forward(gpt_setup, rng):
+    """KV-cache path must reproduce the full causal forward exactly."""
+    model, params = gpt_setup
+    T = 9
+    idx = jnp.asarray(rng.integers(0, 12, (2, T)), jnp.int32)
+    full = np.asarray(model.apply(params, idx))
+
+    cache = model.apply(params, 2, method=model.init_cache)
+    outs = []
+    for t in range(T):
+        logits, cache = model.apply(params, idx[:, t], cache, t, method=model.decode_token)
+        outs.append(np.asarray(logits))
+    stepped = np.stack(outs, axis=1)
+    np.testing.assert_allclose(stepped, full, atol=2e-5)
+
+
+def test_cached_decode_with_cond_prefix(gpt_setup, rng):
+    model, params = gpt_setup
+    emb = jnp.asarray(rng.standard_normal((2, 3, 16)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 12, (2, 4)), jnp.int32)
+    full = np.asarray(model.apply(params, idx, emb))  # (2, 7, 12)
+
+    cache = model.apply(params, 2, method=model.init_cache)
+    outs = []
+    for t in range(3):
+        logits, cache = model.apply(params, emb[:, t : t + 1], cache, t,
+                                    method=model.decode_embedded)
+        outs.append(np.asarray(logits))
+    for t in range(4):
+        logits, cache = model.apply(params, idx[:, t], cache, 3 + t, method=model.decode_token)
+        outs.append(np.asarray(logits))
+    np.testing.assert_allclose(np.stack(outs, 1), full, atol=2e-5)
+
+
+def test_ar_sample_shapes_and_support(rng):
+    model = GPTFeats(
+        feat_embedding_config={"target": "torch.nn.Conv1d",
+                               "params": {"in_channels": 8, "out_channels": 16, "kernel_size": 1}},
+        GPT_config=GCFG,
+    )
+    feats = jnp.asarray(rng.standard_normal((2, 8, 1)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 4), jnp.int32), feats)
+    tokens = ar_sample(model, params, jax.random.PRNGKey(1), feats, steps=10, top_k=5)
+    assert tokens.shape == (2, 10)
+    arr = np.asarray(tokens)
+    assert ((arr >= 0) & (arr < 12)).all()
+
+
+def test_ar_sample_jittable(rng):
+    model = GPTFeats(
+        feat_embedding_config={"target": "torch.nn.Conv1d",
+                               "params": {"in_channels": 8, "out_channels": 16, "kernel_size": 1}},
+        GPT_config=GCFG,
+    )
+    feats = jnp.asarray(rng.standard_normal((1, 8, 1)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32), feats)
+
+    @jax.jit
+    def run(params, key, feats):
+        return ar_sample(model, params, key, feats, steps=8, top_k=3)
+
+    out = run(params, jax.random.PRNGKey(0), feats)
+    assert out.shape == (1, 8)
+
+
+@pytest.mark.slow
+def test_net2net_loss_and_sample(rng):
+    model = Net2NetTransformer(
+        transformer_config={"params": {
+            "feat_embedding_config": {"target": "torch.nn.Conv1d",
+                                      "params": {"in_channels": 8, "out_channels": 16, "kernel_size": 1}},
+            "GPT_config": dict(vocab_size=10, block_size=17, n_layer=1, n_head=2, n_embd=16),
+        }},
+        first_stage_config={
+            "target": "text_to_sound_synthesis_tpu.models.vqgan.VQModel",
+            "params": {"embed_dim": 16, "n_embed": 10,
+                       "ddconfig": dict(double_z=False, z_channels=16, resolution=16,
+                                        in_channels=1, out_ch=1, ch=8, ch_mult=[1, 2],
+                                        num_res_blocks=1, attn_resolutions=[8], dropout=0.0)},
+        },
+        first_stage_permuter_config={
+            "target": "text_to_sound_synthesis_tpu.ops.permuter.ColumnMajor",
+            "params": {"H": 2, "W": 8},
+        },
+    )
+    params = model.init_params(jax.random.PRNGKey(0), mel_shape=(1, 4, 16, 1),
+                               cond_shape=(1, 8, 1))
+    mel = jnp.asarray(rng.standard_normal((2, 4, 16, 1)), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((2, 8, 1)), jnp.float32)
+    loss, logits = model.loss(params, mel, cond)
+    assert np.isfinite(float(loss))
+    assert logits.shape == (2, 16, 10)
+
+    out = model.sample(params, jax.random.PRNGKey(1), cond, hw=(2, 8), top_k=3)
+    assert out.shape == (2, 4, 16, 1)

@@ -1,0 +1,275 @@
+"""Autoregressive GPT baseline with a KV-cached fused sampler.
+
+Parity targets: minGPT and its conditioned variants
+(``Codebook/specvqgan/modules/transformer/mingpt.py``: ``GPT:126-187``,
+``CausalSelfAttention:49-95``, ``GPTFeats:263-293``): learned positional
+embeddings over block_size (266 = 1 cond + 5*53 content), pre-LN blocks with
+GELU MLPs, bias-free head, conditioning features prepended after a Conv1d/
+Linear embedder (CLIP 512-d -> 1024).
+
+TPU-native win: the reference samples 265 tokens with 265 FULL-sequence
+forwards (generate_samples_caps.py:192-229). Here sampling is one ``lax.scan``
+over a per-layer KV cache — O(T) instead of O(T^2) attention work, fully jitted.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Mapping, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...utils.config import register
+
+__all__ = ["GPT", "GPTFeats", "ar_sample"]
+
+
+class LayerCache(NamedTuple):
+    k: jnp.ndarray  # (B, maxT, H, hd)
+    v: jnp.ndarray
+
+
+class CausalSelfAttention(nn.Module):
+    n_embd: int
+    n_head: int
+    n_unmasked: int = 0
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.key = nn.Dense(self.n_embd, dtype=self.dtype, name="key")
+        self.query = nn.Dense(self.n_embd, dtype=self.dtype, name="query")
+        self.value = nn.Dense(self.n_embd, dtype=self.dtype, name="value")
+        self.proj = nn.Dense(self.n_embd, dtype=self.dtype, name="proj")
+
+    def _split(self, x):
+        B, T, _ = x.shape
+        return x.reshape(B, T, self.n_head, self.n_embd // self.n_head)
+
+    def __call__(self, x, *, deterministic: bool = True):
+        B, T, C = x.shape
+        q, k, v = self._split(self.query(x)), self._split(self.key(x)), self._split(self.value(x))
+        att = jnp.einsum("blhd,bshd->bhls", q, k) / math.sqrt(C // self.n_head)
+        mask = jnp.tril(jnp.ones((T, T), bool))
+        if self.n_unmasked > 0:
+            n = self.n_unmasked
+            mask = mask.at[:n, :n].set(True)
+        att = jnp.where(mask[None, None], att, -jnp.inf)
+        att = nn.softmax(att.astype(jnp.float32), axis=-1).astype(self.dtype)
+        y = jnp.einsum("bhls,bshd->blhd", att, v).reshape(B, T, C)
+        return self.proj(y)
+
+    def decode_step(self, x, cache: LayerCache, pos) -> Tuple[jnp.ndarray, LayerCache]:
+        """x: (B, 1, C) at position ``pos`` (traced scalar); masked to <= pos."""
+        B, _, C = x.shape
+        q = self._split(self.query(x))[:, 0]          # (B, H, hd)
+        k_new = self._split(self.key(x))[:, 0]
+        v_new = self._split(self.value(x))[:, 0]
+        k = jax.lax.dynamic_update_slice(cache.k, k_new[:, None], (0, pos, 0, 0))
+        v = jax.lax.dynamic_update_slice(cache.v, v_new[:, None], (0, pos, 0, 0))
+        att = jnp.einsum("bhd,bshd->bhs", q, k) / math.sqrt(C // self.n_head)
+        valid = jnp.arange(cache.k.shape[1])[None, None, :] <= pos
+        att = jnp.where(valid, att, -jnp.inf)
+        att = nn.softmax(att.astype(jnp.float32), axis=-1).astype(self.dtype)
+        y = jnp.einsum("bhs,bshd->bhd", att, v).reshape(B, 1, C)
+        return self.proj(y), LayerCache(k, v)
+
+
+class GPTBlock(nn.Module):
+    n_embd: int
+    n_head: int
+    n_unmasked: int = 0
+    resid_pdrop: float = 0.0
+    attn_pdrop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.ln1 = nn.LayerNorm(dtype=self.dtype, name="ln1")
+        self.ln2 = nn.LayerNorm(dtype=self.dtype, name="ln2")
+        self.attn = CausalSelfAttention(self.n_embd, self.n_head, self.n_unmasked,
+                                        self.attn_pdrop, self.resid_pdrop,
+                                        self.dtype, name="attn")
+        self.fc1 = nn.Dense(4 * self.n_embd, dtype=self.dtype, name="mlp_fc1")
+        self.fc2 = nn.Dense(self.n_embd, dtype=self.dtype, name="mlp_fc2")
+
+    def _mlp(self, x):
+        return self.fc2(nn.gelu(self.fc1(x), approximate=False))
+
+    def __call__(self, x, *, deterministic: bool = True):
+        x = x + self.attn(self.ln1(x), deterministic=deterministic)
+        return x + self._mlp(self.ln2(x))
+
+    def decode_step(self, x, cache: LayerCache, pos):
+        a, cache = self.attn.decode_step(self.ln1(x), cache, pos)
+        x = x + a
+        return x + self._mlp(self.ln2(x)), cache
+
+
+@register(
+    "text_to_sound_synthesis_tpu.models.gpt.GPT",
+    "specvqgan.modules.transformer.mingpt.GPT",
+)
+class GPT(nn.Module):
+    vocab_size: int = 256
+    block_size: int = 266
+    n_layer: int = 19
+    n_head: int = 16
+    n_embd: int = 1024
+    embd_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    attn_pdrop: float = 0.0
+    n_unmasked: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.tok_emb = nn.Embed(self.vocab_size, self.n_embd, dtype=self.dtype, name="tok_emb")
+        self.pos_emb = self.param("pos_emb", nn.initializers.zeros,
+                                  (1, self.block_size, self.n_embd))
+        self.blocks = [
+            GPTBlock(self.n_embd, self.n_head, self.n_unmasked, self.resid_pdrop,
+                     self.attn_pdrop, self.dtype, name=f"block_{i}")
+            for i in range(self.n_layer)
+        ]
+        self.ln_f = nn.LayerNorm(dtype=self.dtype, name="ln_f")
+        self.head = nn.Dense(self.vocab_size, use_bias=False, dtype=self.dtype, name="head")
+
+    def __call__(self, idx: jnp.ndarray, embeddings: Optional[jnp.ndarray] = None,
+                 *, deterministic: bool = True) -> jnp.ndarray:
+        """Full forward: (B, T) token ids (+ optional prepended cond embeddings
+        (B, Tc, D)) -> logits (B, Tc+T, vocab)."""
+        x = self.tok_emb(idx)
+        if embeddings is not None:
+            x = jnp.concatenate([embeddings.astype(x.dtype), x], axis=1)
+        T = x.shape[1]
+        x = x + self.pos_emb[:, :T].astype(x.dtype)
+        for blk in self.blocks:
+            x = blk(x, deterministic=deterministic)
+        return self.head(self.ln_f(x))
+
+    # -- cached decoding -----------------------------------------------------
+
+    def init_cache(self, batch: int, max_len: Optional[int] = None):
+        max_len = max_len or self.block_size
+        hd = self.n_embd // self.n_head
+        zero = jnp.zeros((batch, max_len, self.n_head, hd), self.dtype)
+        return [LayerCache(zero, zero) for _ in range(self.n_layer)]
+
+    def decode_embedded(self, x_emb: jnp.ndarray, cache, pos):
+        """One step from an input embedding (B, 1, D) at position ``pos``."""
+        x = x_emb.astype(self.dtype) + jax.lax.dynamic_slice_in_dim(
+            self.pos_emb, pos, 1, axis=1
+        ).astype(x_emb.dtype)
+        new_cache = []
+        for blk, c in zip(self.blocks, cache):
+            x, c = blk.decode_step(x, c, pos)
+            new_cache.append(c)
+        return self.head(self.ln_f(x))[:, 0], new_cache
+
+    def decode_token(self, token: jnp.ndarray, cache, pos):
+        """One step from token ids (B,) at position ``pos``."""
+        return self.decode_embedded(self.tok_emb(token)[:, None], cache, pos)
+
+    def embed_tokens(self, idx):
+        return self.tok_emb(idx)
+
+
+@register(
+    "text_to_sound_synthesis_tpu.models.gpt.GPTFeats",
+    "specvqgan.modules.transformer.mingpt.GPTFeats",
+)
+class GPTFeats(nn.Module):
+    """GPT conditioned on prepended raw features (CLIP text vectors).
+
+    ``feat_embedding_config`` mirrors the reference YAML: a Conv1d
+    (in_channels -> n_embd, kernel 1) or Linear embedder applied to (B, D, T)
+    features (mingpt.py:263-293).
+    """
+
+    feat_embedding_config: Optional[Mapping[str, Any]] = None
+    GPT_config: Optional[Mapping[str, Any]] = None
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        gcfg = dict(self.GPT_config or {})
+        self.gpt = GPT(dtype=self.dtype, name="gpt",
+                       **{k: v for k, v in gcfg.items() if k in GPT.__dataclass_fields__})
+        ecfg = dict(self.feat_embedding_config or {})
+        target = str(ecfg.get("target", "torch.nn.Conv1d"))
+        p = dict(ecfg.get("params") or {})
+        if target.endswith("Conv1d"):
+            self.embedder = nn.Conv(
+                p.get("out_channels", self.gpt.n_embd),
+                (p.get("kernel_size", 1),),
+                padding=p.get("padding", 0), dtype=self.dtype, name="embedder",
+            )
+        elif target.endswith(("Linear", "Identity")):
+            self.embedder = nn.Dense(p.get("out_features", self.gpt.n_embd),
+                                     dtype=self.dtype, name="embedder")
+        else:
+            raise NotImplementedError(f"embedder {target!r} (LSTM/GRU variants unsupported)")
+
+    def embed_feats(self, feats: jnp.ndarray) -> jnp.ndarray:
+        """(B, D, T) channel-major features -> (B, T, n_embd)."""
+        return self.embedder(jnp.swapaxes(feats, 1, 2))
+
+    def __call__(self, idx: jnp.ndarray, feats: jnp.ndarray,
+                 *, deterministic: bool = True) -> jnp.ndarray:
+        return self.gpt(idx, embeddings=self.embed_feats(feats),
+                        deterministic=deterministic)
+
+    # decoding helpers (delegate to the inner GPT)
+    def init_cache(self, batch: int, max_len: Optional[int] = None):
+        return self.gpt.init_cache(batch, max_len)
+
+    def decode_embedded(self, x_emb, cache, pos):
+        return self.gpt.decode_embedded(x_emb, cache, pos)
+
+    def decode_token(self, token, cache, pos):
+        return self.gpt.decode_token(token, cache, pos)
+
+
+def ar_sample(
+    model,
+    params,
+    key: jax.Array,
+    cond_feats: jnp.ndarray,   # (B, D, Tc) channel-major raw features
+    *,
+    steps: int,
+    top_k: int = 100,
+    temperature: float = 1.0,
+) -> jnp.ndarray:
+    """KV-cached autoregressive sampling as one ``lax.scan``; returns (B, steps).
+
+    Replaces ``Net2NetTransformer.sample`` + the per-token full forwards of
+    ``generate_samples_caps.py:162-229``.
+    """
+    from ...ops.sampling import top_k_multinomial
+
+    B = cond_feats.shape[0]
+    cond_emb = model.apply(params, cond_feats, method=model.embed_feats)  # (B, Tc, D)
+    Tc = cond_emb.shape[1]
+    cache = model.apply(params, B, method=model.init_cache)
+
+    # prefill the conditioning prefix
+    logits = None
+    for t in range(Tc):
+        logits, cache = model.apply(params, cond_emb[:, t : t + 1], cache, t,
+                                    method=model.decode_embedded)
+
+    key, k0 = jax.random.split(key)
+    first = top_k_multinomial(k0, logits, top_k, temperature)
+
+    def step(carry, t):
+        token, cache, key = carry
+        key, ks = jax.random.split(key)
+        logits, cache = model.apply(params, token, cache, Tc + t,
+                                    method=model.decode_token)
+        nxt = top_k_multinomial(ks, logits, top_k, temperature)
+        return (nxt, cache, key), token
+
+    (last, _, _), emitted = jax.lax.scan(step, (first, cache, key), jnp.arange(steps - 1))
+    # each scan step emits the token it consumed; the carry holds the final one
+    return jnp.concatenate([emitted.T, last[:, None]], axis=1)
