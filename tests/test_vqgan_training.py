@@ -1,0 +1,114 @@
+"""Stage-1 training tests: LPAPS, discriminator, adversarial train step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from text_to_sound_synthesis_tpu.engine.vqgan_solver import (
+    VQGANLossConfig,
+    VQGANTrainState,
+    build_gan_optimizer,
+    make_vqgan_train_step,
+)
+from text_to_sound_synthesis_tpu.models.discriminator import NLayerDiscriminator
+from text_to_sound_synthesis_tpu.models.lpaps import LPAPS, VGGishish
+from text_to_sound_synthesis_tpu.models.vqgan import VQModel
+from text_to_sound_synthesis_tpu.ops.gan import (
+    adopt_weight,
+    feature_matching_l1,
+    hinge_d_loss,
+    vanilla_d_loss,
+)
+
+SMALL_DD = dict(double_z=False, z_channels=16, resolution=32, in_channels=1,
+                out_ch=1, ch=16, ch_mult=[1, 2], num_res_blocks=1,
+                attn_resolutions=[16], dropout=0.0)
+
+
+def test_hinge_and_vanilla_losses():
+    real = jnp.asarray([2.0, 2.0])
+    fake = jnp.asarray([-2.0, -2.0])
+    assert float(hinge_d_loss(real, fake)) == 0.0  # perfect discriminator
+    assert float(hinge_d_loss(-real, -fake)) == pytest.approx(3.0)
+    v = float(vanilla_d_loss(real, fake))
+    assert 0 < v < 0.3
+
+
+def test_adopt_weight():
+    assert float(adopt_weight(1.0, jnp.asarray(5), threshold=10)) == 0.0
+    assert float(adopt_weight(1.0, jnp.asarray(15), threshold=10)) == 1.0
+
+
+def test_vggishish_features_and_logits(rng):
+    model = VGGishish(num_classes=7)
+    x = jnp.asarray(rng.standard_normal((1, 80, 96)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    logits = model.apply(params, x)
+    assert logits.shape == (1, 7)
+    feats = model.apply(params, x, return_features=True)
+    assert len(feats) == 5
+    assert feats[0].shape == (1, 80, 96, 64)     # relu1_2
+    assert feats[-1].shape == (1, 5, 6, 512)     # relu5_3 after 4 MPs
+
+
+def test_lpaps_zero_for_identical(rng):
+    lp = LPAPS()
+    x = jnp.asarray(rng.standard_normal((2, 80, 96, 1)).astype(np.float32))
+    params = lp.init(jax.random.PRNGKey(0), x, x)
+    out = lp.apply(params, x, x)
+    assert out.shape == (2,)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+    y = x + 0.5 * jnp.asarray(np.random.default_rng(1).standard_normal(x.shape), jnp.float32)
+    out2 = lp.apply(params, x, y)
+    assert (np.asarray(out2) > 0).all()
+
+
+def test_discriminator_patch_logits(rng):
+    disc = NLayerDiscriminator(input_nc=1, ndf=8, n_layers=2)
+    x = jnp.asarray(rng.standard_normal((2, 32, 64, 1)).astype(np.float32))
+    variables = disc.init(jax.random.PRNGKey(0), x)
+    assert "batch_stats" in variables
+    out = disc.apply(variables, x, train=False)
+    assert out.shape[0] == 2 and out.shape[-1] == 1
+    out2, mut = disc.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert "batch_stats" in mut
+
+
+@pytest.mark.slow
+def test_vqgan_train_step_improves_recon(rng):
+    codec = VQModel(ddconfig=SMALL_DD, n_embed=16, embed_dim=16)
+    disc = NLayerDiscriminator(input_nc=1, ndf=8, n_layers=2)
+    mel = jnp.asarray(rng.standard_normal((2, 16, 32, 1)).astype(np.float32) * 0.5)
+
+    ae_params = codec.init(jax.random.PRNGKey(0), mel)
+    disc_vars = disc.init(jax.random.PRNGKey(1), mel)
+    tx_ae = build_gan_optimizer(1e-3)
+    tx_disc = build_gan_optimizer(1e-3)
+    # no LPAPS net in this smoke test (perceptual_weight=0)
+    cfg = VQGANLossConfig(disc_start=12, perceptual_weight=0.0,
+                          min_adapt_weight=0.0, max_adapt_weight=1e4)
+    step = make_vqgan_train_step(codec, None, disc, tx_ae, tx_disc, cfg, donate=False)
+    state = VQGANTrainState.create(ae_params, disc_vars, tx_ae, tx_disc)
+
+    nlls = []
+    for i in range(16):
+        state, metrics = step(state, None, mel, 1e-3)
+        nlls.append(float(metrics["nll_loss"]))
+        assert np.isfinite(nlls[-1])
+    # pre-adversarial phase: same batch -> reconstruction must improve
+    assert min(nlls[:12]) < nlls[0]
+    assert int(state.step) == 16
+    # after disc_start, adversarial parts engage and stay finite
+    assert float(metrics["disc_factor"]) == 1.0
+    assert np.isfinite(float(metrics["disc_loss"]))
+    assert np.isfinite(float(metrics["d_weight"]))
+
+
+def test_feature_matching_l1():
+    real = [[jnp.ones((1, 4, 2)), jnp.zeros((1, 4, 1))]]
+    fake = [[jnp.zeros((1, 4, 2)), jnp.ones((1, 4, 1))]]
+    # only the non-final maps count
+    out = float(feature_matching_l1(real, fake))
+    assert out == pytest.approx(1.0)
