@@ -270,3 +270,38 @@ def test_diffusion_backbone_parity(rng):
                                  jnp.asarray(cond), jnp.asarray(tstep, jnp.int32),
                                  method=model.backbone_logits))
     np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# VGGishish (LPAPS feature net + classifier flatten permutation)
+# ---------------------------------------------------------------------------
+
+def test_vggishish_conversion_parity(rng):
+    _add_ref_paths()
+    from specvqgan.modules.losses.vggishish.model import VGGishish as TVGG
+    from text_to_sound_synthesis_tpu.convert.torch_to_jax import convert_vggishish
+    from text_to_sound_synthesis_tpu.models.lpaps import VGGishish
+
+    conv_layers = [64, 64, 'MP', 128, 128, 'MP', 256, 256, 256, 'MP',
+                   512, 512, 512, 'MP', 512, 512, 512]
+    torch.manual_seed(4)
+    tm = TVGG(conv_layers, use_bn=False, num_classes=5).eval()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+
+    ours = VGGishish(num_classes=5)
+    x = rng.standard_normal((1, 80, 96)).astype(np.float32)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = convert_vggishish(sd, params)
+
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    got = np.asarray(ours.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+    # feature taps match the torch slices numerically: compare relu5_3
+    with torch.no_grad():
+        feats_t = tm.features(torch.from_numpy(x).unsqueeze(1)).numpy()
+    feats_j = ours.apply(params, jnp.asarray(x), return_features=True)
+    np.testing.assert_allclose(
+        np.asarray(feats_j[-1]).transpose(0, 3, 1, 2), feats_t, atol=1e-3
+    )

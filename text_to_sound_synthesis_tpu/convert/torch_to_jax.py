@@ -320,6 +320,105 @@ def convert_diffusion(sd: Mapping[str, np.ndarray], params: Any,
     return filler.fill(params, rule)
 
 
+# -- VGGishish / LPAPS -------------------------------------------------------
+
+# conv positions inside the torch ``features`` Sequential (VGG16, no BN)
+_VGG_FEATURE_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+
+
+def convert_vggishish(sd: Mapping[str, np.ndarray], params: Any, prefix: str = "") -> Any:
+    """Fill VGGishish params from the released classifier checkpoint
+    (names ``features.N.{weight,bias}`` + ``classifier.{0,2,4}``). Handles the
+    NCHW->NHWC flatten permutation of the first classifier Linear."""
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    filler = _Filler(sd)
+
+    def rule(names, leaf_val):
+        ns = [n for n in names if n != "params"]
+        mod, leaf = ns[0], ns[-1]
+        if mod.startswith("conv_"):
+            fi = _VGG_FEATURE_IDX[int(mod.split("_")[1])]
+            if leaf == "kernel":
+                return _conv2d(filler.get(f"features.{fi}.weight"))
+            return filler.get(f"features.{fi}.bias")
+        if mod in ("fc1", "fc2", "fc3"):
+            ci = {"fc1": 0, "fc2": 2, "fc3": 4}[mod]
+            if leaf == "bias":
+                return filler.get(f"classifier.{ci}.bias")
+            w = filler.get(f"classifier.{ci}.weight")
+            if mod == "fc1":
+                # torch flattens (C=512, 5, 10) C-major; ours flattens (5, 10, C)
+                w = w.reshape(-1, 512, 5, 10).transpose(0, 2, 3, 1).reshape(w.shape[0], -1)
+            return _linear(w)
+        raise KeyError(f"unmapped vggishish param {'/'.join(ns)}")
+
+    return filler.fill(params, rule)
+
+
+def convert_lpaps(lin_path_or_sd, params: Any, vgg_sd: Mapping[str, np.ndarray] | None = None,
+                  stats: np.ndarray | None = None) -> Any:
+    """Fill LPAPS params from the released artifacts:
+
+    * ``lin_vgg.pth`` — lin heads (``lin{i}.model.1.weight`` (1,C,1,1)),
+      scaling buffers when present, and (in some releases) the vggish features
+      under ``net.slice{s}.{featidx}.*``;
+    * optional separate vggishish classifier state dict (``vgg_sd``);
+    * optional ``stats`` (n_mels, 2) mean/std in [0,1] domain
+      (``vggishish_mean_std_melspec_10s_22050hz`` file) -> shift=2m-1, scale=2s.
+    """
+    if isinstance(lin_path_or_sd, str):
+        sd = load_torch_state_dict(lin_path_or_sd)
+    else:
+        sd = dict(lin_path_or_sd)
+
+    # build a features.N view from net.sliceS.N entries if present
+    feat_sd = {}
+    for k, v in sd.items():
+        if k.startswith("net.slice"):
+            idx = k.split(".")[2]
+            feat_sd[f"features.{idx}.{k.split('.')[-1]}"] = v
+    if vgg_sd:
+        for k, v in vgg_sd.items():
+            if k.startswith("features."):
+                feat_sd[k] = v
+
+    def rule(names, leaf_val):
+        ns = [n for n in names if n != "params"]
+        mod = ns[0]
+        if mod == "shift" or mod == "scale":
+            if stats is not None:
+                means, stds = np.asarray(stats, np.float64).T
+                return (2 * means - 1 if mod == "shift" else 2 * stds).astype(np.float32)
+            key = f"scaling_layer.{mod}"
+            if key in sd:
+                return sd[key].reshape(-1)
+            raise KeyError(f"no scaling stats for {mod} (pass stats=...)")
+        if mod.startswith("lin"):
+            i = int(mod[3:])
+            for cand in (f"lin{i}.model.1.weight", f"lins.{i}.model.1.weight"):
+                if cand in sd:
+                    return sd[cand].reshape(sd[cand].shape[1], 1)
+            raise KeyError(f"missing lin head {i}")
+        if mod == "net":
+            sub = ns[1]
+            fi = _VGG_FEATURE_IDX[int(sub.split("_")[1])]
+            if ns[-1] == "kernel":
+                return _conv2d(feat_sd[f"features.{fi}.weight"])
+            return feat_sd[f"features.{fi}.bias"]
+        raise KeyError(f"unmapped lpaps param {'/'.join(ns)}")
+
+    import jax
+
+    def one(path, leaf):
+        names = tuple(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+        new = np.asarray(rule(names, leaf), np.float32)
+        if new.shape != leaf.shape:
+            raise ValueError(f"lpaps shape mismatch at {'/'.join(names)}: {new.shape} vs {leaf.shape}")
+        return new
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
 # -- Melception (torchvision Inception3, eval-mode BN folded) ----------------
 
 def convert_melception(sd: Mapping[str, np.ndarray], params: Any, prefix: str = "",

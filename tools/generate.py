@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Text-to-sound generation CLI.
+
+Parity target: ``Diffsound/evaluation/generate_samples_batch.py`` (class
+``Diffsound:42-205``): read an AudioCaps-val CSV of (filename, caption), batch
+captions, generate ``replicate`` samples each with ``top0.85r`` truncation
+(optionally ``,fastN``), save the [0,1] mel as ``<name>_sample_<i>.npy`` and the
+MelGAN-vocoded PCM_24 wav at 22 050 Hz. EMA weights preferred automatically by
+the converter.
+
+Usage:
+  python tools/generate.py --config_file configs/diffsound_audiocaps.yaml \
+      --ckpt diffsound_ckpt.pth --vocoder vocoder_logs_dir --csv val.csv \
+      --outdir samples/ [--replicate 2] [--sample_type top0.85r] [--batch 5]
+Or ad-hoc captions:
+  python tools/generate.py ... --caption "a dog barks while rain falls"
+"""
+
+import argparse
+import csv
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def get_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_file", required=True)
+    p.add_argument("--ckpt", required=True, help="converted orbax dir or torch .pth")
+    p.add_argument("--vocoder", default=None, help="MelGAN logdir (args.yml + best_netG.pt)")
+    p.add_argument("--csv", default=None, help="AudioCaps val csv: rows of name,caption")
+    p.add_argument("--caption", action="append", default=None)
+    p.add_argument("--outdir", default="samples")
+    p.add_argument("--replicate", type=int, default=2)
+    p.add_argument("--sample_type", default="top0.85r")
+    p.add_argument("--batch", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def load_params(model, ckpt, seed=0):
+    import jax
+
+    template = model.init_params(jax.random.PRNGKey(seed))
+    if ckpt.endswith((".pth", ".ckpt", ".pt")):
+        from text_to_sound_synthesis_tpu.convert.torch_to_jax import (
+            convert_diffsound_checkpoint,
+        )
+
+        return convert_diffsound_checkpoint(ckpt, model, template, prefer_ema=True)
+    import orbax.checkpoint as ocp
+
+    restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(ckpt),
+                                                item=jax.device_get(template))
+    return jax.tree_util.tree_map(jax.numpy.asarray, restored)
+
+
+def main():
+    args = get_args()
+    import jax
+    import jax.numpy as jnp
+
+    from text_to_sound_synthesis_tpu.models.diffsound import build_model
+    from text_to_sound_synthesis_tpu.utils.config import load_yaml_config
+    from text_to_sound_synthesis_tpu.utils.io import write_wav
+
+    model = build_model(load_yaml_config(args.config_file))
+    params = load_params(model, args.ckpt, args.seed)
+
+    vocoder = None
+    if args.vocoder:
+        from text_to_sound_synthesis_tpu.models.melgan.interface import load_vocoder
+
+        vocoder = load_vocoder(args.vocoder)
+
+    if args.csv:
+        with open(args.csv) as f:
+            rows = [(r[0], r[1]) for r in csv.reader(f) if len(r) >= 2]
+    else:
+        caps = args.caption or ["a dog barking"]
+        rows = [(f"caption{i}", c) for i, c in enumerate(caps)]
+
+    os.makedirs(args.outdir, exist_ok=True)
+    key = jax.random.PRNGKey(args.seed)
+
+    @jax.jit
+    def run(params, key, cond_tokens):
+        return model.generate(params, key, cond_tokens, sample_type=args.sample_type)
+
+    for start in range(0, len(rows), args.batch):
+        chunk = rows[start : start + args.batch]
+        names = [n for n, _ in chunk for _ in range(args.replicate)]
+        caps = [c for _, c in chunk for _ in range(args.replicate)]
+        toks = jnp.asarray(model.text_to_tokens(caps)["token"])
+        key, k = jax.random.split(key)
+        mel = np.asarray(run(params, k, toks))  # (B, 80, 848, 1) in [-1, 1]
+        spec = (mel[..., 0] + 1.0) / 2.0
+        counters = {}
+        for i, name in enumerate(names):
+            idx = counters.get(name, 0)
+            counters[name] = idx + 1
+            base = os.path.join(args.outdir, f"{name}_sample_{idx}")
+            np.save(base + ".npy", spec[i])
+            if vocoder is not None:
+                wav = vocoder(spec[i : i + 1])[0]
+                write_wav(base + ".wav", 22050, wav, subtype="PCM_24")
+        print(f"[{start + len(chunk)}/{len(rows)}] wrote {len(names)} samples")
+
+
+if __name__ == "__main__":
+    main()
