@@ -52,11 +52,13 @@ def test_subsample_and_zcurve_roundtrip(rng):
 
 
 def test_parse_sample_type():
-    fn, skip = parse_sample_type("top0.85r")
-    assert fn is not None and skip == 0
-    fn, skip = parse_sample_type("top0.85r,fast2")
+    fn, skip, q = parse_sample_type("top0.85r")
+    assert fn is not None and skip == 0 and q == 0.0
+    fn, skip, q = parse_sample_type("top0.85r,fast2")
     assert skip == 2
-    fn, skip = parse_sample_type("top100p")
+    fn, skip, q = parse_sample_type("top0.85r,q0.5")
+    assert q == 0.5
+    fn, skip, q = parse_sample_type("top100p")
     assert fn is not None
     with pytest.raises(ValueError):
         parse_sample_type("topXq")

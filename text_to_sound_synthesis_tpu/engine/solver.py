@@ -100,6 +100,10 @@ class Solver:
         self.rng = jax.random.PRNGKey(seed + 1)
         if params is None:
             params = model.init_params(key)
+        else:
+            # copy: the train step donates its state buffers; the caller's tree
+            # must stay alive (e.g. to build another solver)
+            params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
         self.frozen = {"codec": params["codec"], "cond": params["cond"]}
         self.state = DiffusionTrainState.create(
             params["diffusion"], self.tx,
@@ -116,6 +120,13 @@ class Solver:
         T = model.diffusion.diffusion_step
         self.diffusion_acc_list = [0.0] * T
         self.diffusion_keep_list = [0.0] * T
+
+        # in-training sampling (solver_spec.py:191-261): cached caption batch
+        self._sample_batch = None
+        self.vocoder = None  # optionally attached for audible samples
+        # profiling hook (reference has none; SURVEY.md §5 tracing gap)
+        self.profile_dir = solver_cfg.get("profile_dir")
+        self._profiling = False
 
     # -- checkpointing -------------------------------------------------------
 
@@ -166,13 +177,66 @@ class Solver:
             self.diffusion_acc_list[ti] = float(a0[i]) * 0.1 + self.diffusion_acc_list[ti] * 0.9
             self.diffusion_keep_list[ti] = float(ak[i]) * 0.1 + self.diffusion_keep_list[ti] * 0.9
 
+    def sample(self, suffix: str = "") -> None:
+        """Periodic in-training sampling: generate from cached captions with
+        the EMA weights and dump spec .npy (+ .png, + vocoded .wav when a
+        vocoder is attached) under <run>/samples (solver_spec.py:191-261)."""
+        if self._sample_batch is None or not self.logger.is_primary:
+            return
+        import os
+
+        import numpy as np_
+
+        params = {
+            "codec": self.frozen["codec"], "cond": self.frozen["cond"],
+            "diffusion": self.state.ema_params if self.state.ema_params is not None
+            else self.state.params,
+        }
+        self.rng, k = jax.random.split(self.rng)
+        cond_tokens = jnp.asarray(self._sample_batch["condition_token"][:4])
+        mel = self.model.generate(params, k, cond_tokens, sample_type="top0.85r")
+        spec = (np_.asarray(mel)[..., 0] + 1.0) / 2.0
+        it = int(jax.device_get(self.state.step))
+        outdir = os.path.join(self.logger.run_dir, "samples")
+        os.makedirs(outdir, exist_ok=True)
+        for b in range(spec.shape[0]):
+            base = os.path.join(outdir, f"it{it}_{b}{suffix}")
+            np_.save(base + ".npy", spec[b])
+            try:
+                from PIL import Image
+
+                img = (np_.clip(spec[b], 0, 1) * 255).astype("uint8")[::-1]
+                Image.fromarray(img).save(base + ".png")
+            except Exception:
+                pass
+            if self.vocoder is not None:
+                from ..utils.io import write_wav
+
+                write_wav(base + ".wav", 22050, self.vocoder(spec[b : b + 1])[0])
+        self.logger.log_info(f"wrote {spec.shape[0]} samples at iter {it}")
+
+    def _maybe_profile(self, it: int) -> None:
+        if not self.profile_dir or not self.logger.is_primary:
+            return
+        if it == 10 and not self._profiling:
+            jax.profiler.start_trace(self.profile_dir)
+            self._profiling = True
+            self.logger.log_info(f"profiler trace started -> {self.profile_dir}")
+        elif it >= 15 and self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            self.logger.log_info("profiler trace stopped")
+
     def train_epoch(self, epoch: int, log_frequency: int = 100) -> float:
         loader = self.dataloader["train_loader"]
         itr_start = time.time()
         last_loss = float("nan")
         for i, batch in enumerate(loader):
             data_time = time.time() - itr_start
-            batch = shard_batch(self._to_model_batch(batch), self.mesh)
+            batch = self._to_model_batch(batch)
+            if self._sample_batch is None:
+                self._sample_batch = batch
+            batch = shard_batch(batch, self.mesh)
             self.rng, step_key = jax.random.split(self.rng)
             lr = self.scheduler.lr if self.scheduler else self.base_lr
             self.state, metrics = self.train_step(self.state, self.frozen, batch, step_key, lr)
@@ -181,6 +245,13 @@ class Solver:
             if self.scheduler and (i % self.scheduler_step_iteration == 0):
                 self.scheduler.step(loss)
             self._host_update_acc(metrics)
+            it_now = int(jax.device_get(self.state.step))
+            self._maybe_profile(it_now)
+            if self.sample_iterations and it_now % max(1, int(self.sample_iterations)) == 0:
+                try:
+                    self.sample()
+                except Exception as e:  # sampling must never kill training
+                    self.logger.log_info(f"in-training sampling failed: {e!r}")
             if i % log_frequency == 0:
                 it = int(jax.device_get(self.state.step))
                 iter_time = time.time() - itr_start
@@ -236,6 +307,18 @@ class Solver:
         return val
 
     def train(self) -> None:
+        # SIGUSR1 -> checkpoint now (the PL stack's "melk" hook, train.py:784-797)
+        import signal
+
+        def _melk(signum, frame):
+            self.logger.log_info("SIGUSR1: checkpointing")
+            self.save(self.last_epoch, force=True)
+
+        try:
+            signal.signal(signal.SIGUSR1, _melk)
+        except (ValueError, OSError):
+            pass  # non-main thread
+
         start_epoch = self.last_epoch + 1
         for epoch in range(start_epoch, self.max_epochs):
             t0 = time.time()

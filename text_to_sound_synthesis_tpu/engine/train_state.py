@@ -55,7 +55,11 @@ class DiffusionTrainState(struct.PyTreeNode):
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=tx.init(params["params"] if "params" in params else params),
-            ema_params=jax.tree_util.tree_map(jnp.asarray, params) if with_ema else None,
+            # NOTE: must COPY — aliasing params would break buffer donation
+            ema_params=(
+                jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+                if with_ema else None
+            ),
             lt=TimestepSamplerState.create(num_timesteps),
         )
 

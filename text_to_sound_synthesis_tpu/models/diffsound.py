@@ -52,12 +52,13 @@ def parse_sample_type(sample_type: str):
         else:
             raise ValueError(f"bad sample_type head: {head!r}")
     skip_step = 0
+    resample_q = 0.0
     for p in parts[1:]:
         if p.startswith("fast"):
             skip_step = int(p[4:])
         elif p.startswith("q"):
-            raise NotImplementedError("q-resample sampling variant")
-    return filter_fn, skip_step
+            resample_q = float(p[1:])
+    return filter_fn, skip_step, resample_q
 
 
 @register(
@@ -173,12 +174,12 @@ class Diffsound:
     ):
         """text tokens -> mel (B, H, W, 1) in [-1, 1]. Jittable (static
         sample_type/filter_ratio). DALLE.generate_content equivalent."""
-        filter_fn, skip_step = parse_sample_type(sample_type)
+        filter_fn, skip_step, resample_q = parse_sample_type(sample_type)
         cond_emb = self.embed_condition(params, cond_tokens)
         tokens = sample_tokens(
             self.diffusion, params["diffusion"], key, cond_emb,
             content_tokens=content_tokens, filter_ratio=filter_ratio,
-            skip_step=skip_step, filter_fn=filter_fn,
+            skip_step=skip_step, filter_fn=filter_fn, resample_q=resample_q,
         )
         mel = self.decode_tokens(params, tokens)
         if return_tokens:

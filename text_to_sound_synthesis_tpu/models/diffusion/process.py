@@ -255,6 +255,7 @@ def sample_tokens(
     filter_ratio: float = 0.0,
     skip_step: int = 0,
     filter_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    resample_q: float = 0.0,
     return_logits: bool = False,
 ):
     """Reverse diffusion as one ``lax.scan``; jit-compatible end to end.
@@ -286,18 +287,30 @@ def sample_tokens(
 
     ts, t_post = _timestep_plan(T, plan_start, skip_step)
 
-    def step(carry, inputs):
-        log_z, key = carry
-        t_scalar, t_post_scalar = inputs
-        key, k_samp = jax.random.split(key)
-        t_vec = jnp.full((B,), t_scalar, jnp.int32)
-        tp_vec = jnp.full((B,), t_post_scalar, jnp.int32)
+    def p_sample(log_z, t_vec, tp_vec, k_samp):
         xt = dd.log_onehot_to_index(log_z)
         log_x_recon = model.apply(params, xt, cond_emb, t_vec, method=model.predict_start)
         if filter_fn is not None:
             log_x_recon = filter_fn(log_x_recon)
         log_model_prob = dd.q_posterior(sched, log_x_recon, log_z, tp_vec)
-        log_z = dd.log_sample_categorical(k_samp, log_model_prob)
+        return dd.log_sample_categorical(k_samp, log_model_prob)
+
+    def step(carry, inputs):
+        log_z, key = carry
+        t_scalar, t_post_scalar = inputs
+        key, k_samp, k_q, k_samp2 = jax.random.split(key, 4)
+        t_vec = jnp.full((B,), t_scalar, jnp.int32)
+        tp_vec = jnp.full((B,), t_post_scalar, jnp.int32)
+        log_z = p_sample(log_z, t_vec, tp_vec, k_samp)
+        if resample_q > 0.0:
+            # the reference's 'q<rate>' wrapper re-applies p_sample to its own
+            # output with probability q (dalle_spec.py:135-143)
+            log_z = jax.lax.cond(
+                jax.random.uniform(k_q) < resample_q,
+                lambda z: p_sample(z, t_vec, tp_vec, k_samp2),
+                lambda z: z,
+                log_z,
+            )
         return (log_z, key), None
 
     (log_z, _), _ = jax.lax.scan(step, (log_z, key), (ts, t_post))
