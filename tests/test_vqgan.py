@@ -105,3 +105,19 @@ def test_vqmodel_full_size_token_grid():
     )
     assert quant_shape[0].shape == (1, 5, 53, 256)
     assert quant_shape[1].indices.shape == (1, 5, 53)
+
+
+def test_vqmodel1d_roundtrip(rng):
+    from text_to_sound_synthesis_tpu.models.vqgan.modules1d import VQModel1d
+
+    dd = dict(double_z=False, z_channels=16, resolution=32, in_channels=24,
+              out_ch=24, ch=16, ch_mult=[1, 2], num_res_blocks=1,
+              attn_resolutions=[16], dropout=0.0)
+    model = VQModel1d(ddconfig=dd, n_embed=8, embed_dim=16)
+    x = jnp.asarray(rng.standard_normal((2, 32, 24)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    rec, vq = model.apply(params, x)
+    assert rec.shape == x.shape
+    assert vq.indices.shape == (2, 16)  # one downsample
+    rec2 = model.apply(params, vq.indices, method=model.decode_code)
+    np.testing.assert_allclose(np.asarray(rec2), np.asarray(rec), atol=1e-5)

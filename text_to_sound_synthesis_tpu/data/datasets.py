@@ -99,6 +99,102 @@ class AudiosetDataset(_MelCaptionDataset):
     the txt form after preprocessing with tools/prepare_data.py)."""
 
 
+def make_split_files(split_path: str, spec_dir_path: str, suffix: str = "_mel.npy",
+                     train_frac: float = 0.9, seed: int = 0) -> None:
+    """Scan ``spec_dir_path`` (with a ``*`` class wildcard) and write
+    ``<prefix>_train.txt``/``_valid.txt`` of ``<class>/<vid>`` rows
+    (``Codebook/specvqgan/data/caps.py:15-63`` behavior)."""
+    import glob as _glob
+
+    rows = []
+    for path in sorted(_glob.glob(os.path.join(spec_dir_path, "*" + suffix))):
+        vid = os.path.basename(path)[: -len(suffix)]
+        cls = os.path.basename(os.path.dirname(path))
+        rows.append(f"{cls}/{vid}")
+    rng = np.random.default_rng(seed)
+    rng.shuffle(rows)
+    n_train = int(len(rows) * train_frac)
+    base = split_path
+    for tag in ("train", "valid", "test"):
+        if base.endswith(f"_{tag}.txt"):
+            base = base[: -len(f"_{tag}.txt")]
+    with open(base + "_train.txt", "w") as f:
+        f.write("\n".join(rows[:n_train]) + "\n")
+    with open(base + "_valid.txt", "w") as f:
+        f.write("\n".join(rows[n_train:]) + "\n")
+
+
+@register(
+    "text_to_sound_synthesis_tpu.data.SpecsDataset",
+    "specvqgan.data.caps.VASSpecs",
+    "specvqgan.data.audioset.VASSpecs",
+)
+class SpecsDataset:
+    """Stage-1 codebook-training dataset: ``<class>/<vid>`` split rows, mels
+    from a class-wildcard directory (``VASSpecs``, caps.py:88-139). Items carry
+    ``image`` in [-1,1], ``label``/``target``, and ``file_path_``."""
+
+    def __init__(
+        self,
+        split: str,
+        spec_dir_path: str,
+        split_path: Optional[str] = None,
+        mel_num: int = 80,
+        spec_len: int = 860,
+        spec_crop_len: int = 848,
+        random_crop: bool = False,
+        crop_coord=None,
+        for_which_class: Optional[str] = None,
+        feat_suffix: str = "_mel.npy",
+        cls_token_dir_path: Optional[str] = None,
+        feat_dim: int = 512,
+    ):
+        self.spec_dir_path = spec_dir_path
+        self.feat_suffix = feat_suffix
+        self.split_path = split_path or os.path.join(
+            os.path.dirname(spec_dir_path.replace("*", "")), f"split_{split}.txt"
+        )
+        if not os.path.exists(self.split_path):
+            make_split_files(self.split_path, spec_dir_path, feat_suffix)
+            base = self.split_path
+            for tag in ("train", "valid", "test"):
+                if base.endswith(f"_{tag}.txt"):
+                    base = base[: -len(f"_{tag}.txt")]
+            self.split_path = f"{base}_{'valid' if split in ('valid', 'test') else 'train'}.txt"
+        with open(self.split_path) as f:
+            rows = [r for r in f.read().splitlines() if r]
+        if for_which_class:
+            rows = [r for r in rows if r.startswith(for_which_class)]
+        self.rows = rows
+        classes = sorted({r.split("/")[0] for r in rows})
+        self.label2target = {c: i for i, c in enumerate(classes)}
+        self.crop = CropSpec([mel_num, spec_crop_len], random_crop)
+        # optional text-feature conditioning (cls_token_512 / _768 dirs of
+        # per-clip .txt vectors, used by the AR baseline's conditioned variant)
+        self.cls_token_dir_path = cls_token_dir_path
+        self.feat_dim = feat_dim
+
+    def __len__(self):
+        return len(self.rows)
+
+    def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng()
+        cls, vid = self.rows[index].split("/")
+        path = os.path.join(self.spec_dir_path.replace("*", cls), vid + self.feat_suffix)
+        spec = self.crop(np.load(path), rng)
+        item = {
+            "image": to_model_range(spec).astype(np.float32),
+            "label": cls,
+            "target": self.label2target[cls],
+            "file_path_": path,
+        }
+        if self.cls_token_dir_path:
+            fpath = os.path.join(self.cls_token_dir_path.replace("*", cls), vid + ".txt")
+            feats = np.loadtxt(fpath, dtype=np.float32).reshape(-1)[: self.feat_dim]
+            item["feature"] = feats.reshape(self.feat_dim, 1)  # (D, T=1) channel-major
+        return item
+
+
 class ArrayDataset:
     """In-memory dataset for tests/synthetic benchmarks."""
 
