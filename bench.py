@@ -31,13 +31,11 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from text_to_sound_synthesis_tpu.models.diffusion import (
-        DiscreteDiffusion,
-        sample_tokens,
+    from text_to_sound_synthesis_tpu.models.diffusion import DiscreteDiffusion
+    from text_to_sound_synthesis_tpu.models.diffusion.process import (
+        sample_tokens_fused,
     )
     from text_to_sound_synthesis_tpu.models.vqgan import VQModel
-    from text_to_sound_synthesis_tpu.ops.sampling import truncate_top_r
-    from functools import partial
 
     dev = jax.devices()[0]
     print(f"bench device: {dev}", file=sys.stderr)
@@ -81,11 +79,10 @@ def main() -> None:
     cparams = jax.tree_util.tree_map(mk, cshapes)
     print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    filt = partial(truncate_top_r, r=0.85)
-
     @jax.jit
     def generate(dparams, cparams, key, cond_emb):
-        toks = sample_tokens(denoiser, dparams, key, cond_emb, filter_fn=filt)
+        toks = sample_tokens_fused(denoiser, dparams, key, cond_emb,
+                                   truncation_r=0.85)
         grid = toks.reshape(-1, 53, 5).swapaxes(1, 2)  # reverse ColumnMajor
         return codec.apply(cparams, grid, method=codec.decode_code)
 

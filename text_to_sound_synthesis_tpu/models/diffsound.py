@@ -32,7 +32,7 @@ from ..ops.sampling import truncate_top_k, truncate_top_r
 from ..utils.config import instantiate_from_config, register
 from .clip.text_model import CLIPTextEmbedding
 from .clip.tokenize import Tokenize
-from .diffusion.process import DiscreteDiffusion, sample_tokens
+from .diffusion.process import DiscreteDiffusion, sample_tokens, sample_tokens_fused
 from .vqgan.model import VQModel
 
 __all__ = ["Diffsound", "build_model", "parse_sample_type"]
@@ -171,16 +171,34 @@ class Diffsound:
         filter_ratio: float = 0.0,
         content_tokens: Optional[jnp.ndarray] = None,
         return_tokens: bool = False,
+        use_fused: Optional[bool] = None,
     ):
         """text tokens -> mel (B, H, W, 1) in [-1, 1]. Jittable (static
-        sample_type/filter_ratio). DALLE.generate_content equivalent."""
+        sample_type/filter_ratio). DALLE.generate_content equivalent.
+
+        ``use_fused`` (default: auto on TPU) routes top-r sampling through the
+        index-carrying fused Pallas step — same distribution, different RNG
+        stream than the one-hot path.
+        """
         filter_fn, skip_step, resample_q = parse_sample_type(sample_type)
+        head = sample_type.split(",")[0]
+        fused_ok = (resample_q == 0.0) and (filter_fn is None or head.endswith("r"))
+        if use_fused is None:
+            use_fused = fused_ok and jax.default_backend() == "tpu"
         cond_emb = self.embed_condition(params, cond_tokens)
-        tokens = sample_tokens(
-            self.diffusion, params["diffusion"], key, cond_emb,
-            content_tokens=content_tokens, filter_ratio=filter_ratio,
-            skip_step=skip_step, filter_fn=filter_fn, resample_q=resample_q,
-        )
+        if use_fused and fused_ok:
+            r = float(head[3:-1]) if head.startswith("top") else 0.0
+            tokens = sample_tokens_fused(
+                self.diffusion, params["diffusion"], key, cond_emb,
+                truncation_r=r, skip_step=skip_step,
+                content_tokens=content_tokens, filter_ratio=filter_ratio,
+            )
+        else:
+            tokens = sample_tokens(
+                self.diffusion, params["diffusion"], key, cond_emb,
+                content_tokens=content_tokens, filter_ratio=filter_ratio,
+                skip_step=skip_step, filter_fn=filter_fn, resample_q=resample_q,
+            )
         mel = self.decode_tokens(params, tokens)
         if return_tokens:
             return mel, tokens

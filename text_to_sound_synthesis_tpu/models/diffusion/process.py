@@ -318,3 +318,68 @@ def sample_tokens(
     if return_logits:
         return tokens, jnp.exp(log_z)
     return tokens
+
+
+def sample_tokens_fused(
+    model: DiscreteDiffusion,
+    params,
+    key: jax.Array,
+    cond_emb: jnp.ndarray,
+    *,
+    truncation_r: float = 0.0,
+    skip_step: int = 0,
+    content_tokens: Optional[jnp.ndarray] = None,
+    filter_ratio: float = 0.0,
+    use_kernel: Optional[bool] = None,
+):
+    """Index-carrying reverse sampler: one ``lax.scan`` whose non-transformer
+    work is the fused Pallas step (ops/fused_sampler.py) — or its jnp twin on
+    non-TPU backends. Same semantics as ``sample_tokens`` with a top-r filter,
+    but the carry is (B, L) int32 instead of a (B, L, K) one-hot and the
+    posterior/truncation/Gumbel chain runs as a single kernel.
+    """
+    from ...ops import fused_sampler as fs
+
+    sched = model.schedule()
+    K = model.num_classes
+    T = model.diffusion_step
+    L = model.content_seq_len
+    B = cond_emb.shape[0]
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+
+    start_step = int(T * filter_ratio)
+    if start_step == 0:
+        tokens = jnp.full((B, L), K - 1, jnp.int32)  # all-MASK
+        plan_start = T
+    else:
+        if content_tokens is None:
+            raise ValueError("filter_ratio > 0 requires content_tokens")
+        key, k0 = jax.random.split(key)
+        t0 = jnp.full((B,), start_step - 1, jnp.int32)
+        log_z = dd.q_sample(sched, k0, dd.index_to_log_onehot(content_tokens, K), t0)
+        tokens = dd.log_onehot_to_index(log_z).astype(jnp.int32)
+        plan_start = start_step
+
+    ts, t_post = _timestep_plan(T, plan_start, skip_step)
+    seed_base = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
+
+    def step(carry, inputs):
+        tokens, key = carry
+        (t_scalar, t_post_scalar), idx = inputs
+        t_vec = jnp.full((B,), t_scalar, jnp.int32)
+        logits = model.apply(params, tokens, cond_emb, t_vec,
+                             method=model.backbone_logits)
+        coeffs = fs.step_coeffs(sched, t_post_scalar)
+        if use_kernel:
+            tokens = fs.fused_p_sample(logits, tokens, coeffs,
+                                       seed_base + idx, truncation_r=truncation_r)
+        else:
+            key, k = jax.random.split(key)
+            tokens = fs.p_sample_from_indices(logits, tokens, coeffs, k,
+                                              truncation_r=truncation_r)
+        return (tokens, key), None
+
+    idxs = jnp.arange(ts.shape[0], dtype=jnp.int32)
+    (tokens, _), _ = jax.lax.scan(step, (tokens, key), ((ts, t_post), idxs))
+    return tokens
