@@ -19,6 +19,9 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# NOTE: no persistent compile cache here — with the axon remote-compile relay
+# the cached CPU AOT artifacts can target a different machine config (observed
+# "+prefer-no-scatter not supported on host" warnings, potential SIGILL).
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

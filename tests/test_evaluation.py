@@ -115,3 +115,66 @@ def test_evaluate_folders_end_to_end(tmp_path, rng):
     for key in ("frechet_inception_distance", "inception_score_mean",
                 "kernel_inception_distance_mean", "kullback_leibler_divergence"):
         assert np.isfinite(out[key]), (key, out)
+
+
+@pytest.mark.slow
+def test_melception_blocks_vs_torch_transcription(rng):
+    """Cross-check the flax InceptionA block + BasicConv2d + BN folding against
+    an independent torch transcription of the torchvision architecture
+    (torchvision itself is absent from this image)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+    import torch.nn.functional as tF
+
+    from text_to_sound_synthesis_tpu.convert.torch_to_jax import convert_melception
+    from text_to_sound_synthesis_tpu.models.melception.model import InceptionA
+
+    class TBasicConv(tnn.Module):
+        def __init__(self, cin, cout, k, s=1, p=0):
+            super().__init__()
+            self.conv = tnn.Conv2d(cin, cout, k, stride=s, padding=p, bias=False)
+            self.bn = tnn.BatchNorm2d(cout, eps=1e-3)
+
+        def forward(self, x):
+            return tF.relu(self.bn(self.conv(x)))
+
+    class TInceptionA(tnn.Module):
+        def __init__(self, cin, pool):
+            super().__init__()
+            self.branch1x1 = TBasicConv(cin, 64, 1)
+            self.branch5x5_1 = TBasicConv(cin, 48, 1)
+            self.branch5x5_2 = TBasicConv(48, 64, 5, p=2)
+            self.branch3x3dbl_1 = TBasicConv(cin, 64, 1)
+            self.branch3x3dbl_2 = TBasicConv(64, 96, 3, p=1)
+            self.branch3x3dbl_3 = TBasicConv(96, 96, 3, p=1)
+            self.branch_pool = TBasicConv(cin, pool, 1)
+
+        def forward(self, x):
+            b1 = self.branch1x1(x)
+            b5 = self.branch5x5_2(self.branch5x5_1(x))
+            b3 = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+            bp = self.branch_pool(tF.avg_pool2d(x, 3, stride=1, padding=1))
+            return torch.cat([b1, b5, b3, bp], 1)
+
+    torch.manual_seed(0)
+    tm = TInceptionA(32, 16).eval()
+    # randomize BN stats so folding is actually exercised
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+                m.weight.normal_(1, 0.2)
+                m.bias.normal_(0, 0.2)
+
+    x = rng.standard_normal((1, 32, 12, 20)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+
+    ours = InceptionA(pool_features=16)
+    xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    params = ours.init(jax.random.PRNGKey(0), xj)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_melception(sd, params)
+    got = np.asarray(ours.apply(params, xj))
+    np.testing.assert_allclose(np.transpose(got, (0, 3, 1, 2)), want, atol=2e-4)
