@@ -168,3 +168,29 @@ def test_train_step_data_parallel_8dev(tiny_setup, rng):
     state3, metrics_rep = step(state, frozen, jax.tree_util.tree_map(jnp.asarray, batch_host),
                                jax.random.PRNGKey(0), 1e-3)
     np.testing.assert_allclose(float(metrics.loss), float(metrics_rep.loss), rtol=1e-4)
+
+
+@pytest.mark.multichip
+def test_data_parallel_generation_8dev(tiny_setup, rng):
+    """BASELINE config 5: batched generation data-parallel over the mesh —
+    cond batch sharded on 'data', sampler jitted once, XLA partitions it."""
+    from text_to_sound_synthesis_tpu.models.diffusion.process import sample_tokens_fused
+    from text_to_sound_synthesis_tpu.parallel.mesh import batch_sharding
+
+    model, params = tiny_setup
+    mesh = make_mesh()
+    toks = model.text_to_tokens(["a dog barks"] * 8)["token"][:, :12]
+    cond_tokens = jax.device_put(jnp.asarray(toks, jnp.int32),
+                                 batch_sharding(mesh, ndim=2))
+
+    @jax.jit
+    def gen(params, key, cond_tokens):
+        cond_emb = model.embed_condition(params, cond_tokens)
+        return sample_tokens_fused(model.diffusion, params["diffusion"], key,
+                                   cond_emb, truncation_r=0.85, use_kernel=False,
+                                   skip_step=1)
+    out = gen({"codec": params["codec"], "cond": params["cond"],
+               "diffusion": params["diffusion"]}, jax.random.PRNGKey(0), cond_tokens)
+    assert out.shape == (8, 16)
+    arr = np.asarray(out)
+    assert ((arr >= 0) & (arr <= 10)).all()

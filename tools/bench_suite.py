@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Secondary benchmark suite: all five BASELINE.json configs on one chip.
+
+(bench.py at the repo root is the driver-facing headline benchmark — config 4
+only, one JSON line. This prints one JSON line per config.)
+
+  1. SpecVQGAN round-trip: 80x848 mel encode -> codebook lookup -> decode
+  2. MelGAN vocoder: decoded spectrogram -> 10 s waveform
+  3. AR baseline: 265-token KV-cached text-conditioned generation
+  4. Diffsound 100-step discrete diffusion sampling, batch 8
+  5. Fast sampler (top-0.85r, 25 effective steps), batch 32
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(
+    __import__("os").path.abspath(__file__))))
+
+import numpy as np
+
+
+def timed(fn, *args, warmup=1, iters=3):
+    for _ in range(warmup):
+        out = np.asarray(fn(*args))
+    t0 = time.time()
+    for _ in range(iters):
+        out = np.asarray(fn(*args))
+    return (time.time() - t0) / iters, out
+
+
+def report(name, value, unit):
+    print(json.dumps({"config": name, "value": round(value, 3), "unit": unit}))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+
+    from text_to_sound_synthesis_tpu.models.diffusion import DiscreteDiffusion
+    from text_to_sound_synthesis_tpu.models.diffusion.process import sample_tokens_fused
+    from text_to_sound_synthesis_tpu.models.gpt import GPTFeats, ar_sample
+    from text_to_sound_synthesis_tpu.models.melgan import MelGANGenerator
+    from text_to_sound_synthesis_tpu.models.vqgan import VQModel
+
+    zeros = lambda tree: jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), tree)
+
+    # ---- 1. VQGAN round trip ----------------------------------------------
+    codec = VQModel(
+        ddconfig=dict(double_z=False, z_channels=256, resolution=848, in_channels=1,
+                      out_ch=1, ch=128, ch_mult=[1, 1, 2, 2, 4], num_res_blocks=2,
+                      attn_resolutions=[53], dropout=0.0),
+        n_embed=256, embed_dim=256, dtype=jnp.bfloat16)
+    mel = jnp.zeros((1, 80, 848, 1))
+    cparams = zeros(jax.eval_shape(lambda: codec.init(jax.random.PRNGKey(0), mel)))
+    roundtrip = jax.jit(lambda p, x: codec.apply(p, x)[0])
+    dt, _ = timed(roundtrip, cparams, mel)
+    report("vqgan_roundtrip_80x848", 1.0 / dt, "clips/sec")
+
+    # ---- 2. MelGAN vocoder -------------------------------------------------
+    gen = MelGANGenerator(dtype=jnp.bfloat16)
+    spec = jnp.zeros((1, 848, 80))
+    gparams = zeros(jax.eval_shape(lambda: gen.init(jax.random.PRNGKey(0), spec)))
+    voc = jax.jit(lambda p, s: gen.apply(p, s))
+    dt, wav = timed(voc, gparams, spec)
+    report("melgan_vocode_10s", 1.0 / dt, "clips/sec")
+
+    # ---- 3. AR baseline ----------------------------------------------------
+    ar = GPTFeats(
+        feat_embedding_config={"target": "torch.nn.Conv1d",
+                               "params": {"in_channels": 512, "out_channels": 1024,
+                                          "kernel_size": 1}},
+        GPT_config=dict(vocab_size=256, block_size=266, n_layer=19, n_head=16,
+                        n_embd=1024),
+        dtype=jnp.bfloat16)
+    feats = jnp.zeros((8, 512, 1))
+    aparams = zeros(jax.eval_shape(
+        lambda: ar.init(jax.random.PRNGKey(0), jnp.zeros((8, 4), jnp.int32), feats)))
+    ar_run = jax.jit(lambda p, k, f: ar_sample(ar, p, k, f, steps=265, top_k=100))
+    dt, _ = timed(ar_run, aparams, jax.random.PRNGKey(0), feats, iters=2)
+    report("ar_baseline_265tok_batch8", 8.0 / dt, "clips/sec")
+
+    # ---- 4 & 5. Diffusion samplers ----------------------------------------
+    den = DiscreteDiffusion(
+        transformer_config={"params": dict(
+            n_layer=19, n_embd=1024, n_head=16, content_seq_len=265,
+            condition_dim=512, content_spatial_size=(5, 53), block_activate="GELU2")},
+        content_emb_config={"params": dict(num_embed=256, embed_dim=1024,
+                                           spatial_size=(5, 53))},
+        diffusion_step=100, dtype=jnp.bfloat16)
+    dparams = zeros(jax.eval_shape(lambda: den.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 265), jnp.int32),
+        jnp.zeros((1, 77, 512)), jnp.zeros((1,), jnp.int32))))
+
+    cond8 = jax.random.normal(jax.random.PRNGKey(7), (8, 77, 512))
+    full = jax.jit(lambda p, k, c: sample_tokens_fused(den, p, k, c, truncation_r=0.85))
+    dt, _ = timed(full, dparams, jax.random.PRNGKey(0), cond8)
+    report("diffsound_100step_batch8", 8.0 / dt, "clips/sec")
+
+    cond32 = jax.random.normal(jax.random.PRNGKey(8), (32, 77, 512))
+    fast = jax.jit(lambda p, k, c: sample_tokens_fused(den, p, k, c,
+                                                       truncation_r=0.85, skip_step=3))
+    dt, _ = timed(fast, dparams, jax.random.PRNGKey(0), cond32)
+    report("diffsound_fast25step_batch32", 32.0 / dt, "clips/sec")
+
+
+if __name__ == "__main__":
+    main()
