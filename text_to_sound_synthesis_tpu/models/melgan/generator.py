@@ -31,8 +31,20 @@ def conv_transpose_1d(x, kernel, stride: int, padding: int, output_padding: int 
     x: (B, T, Cin); kernel: (k, Cout, Cin) — spatial-major like flax, but with
     (out, in) channel order so conversion from torch's (Cin, Cout, k) is a pure
     transpose. out length = (T-1)*stride - 2*padding + k + output_padding.
+
+    MelGAN's configuration (k = 2*stride, padding = ceil(stride/2), even
+    stride) takes the polyphase fast path: one (T, 3*Cin) x (3*Cin, r*Cout)
+    matmul instead of a conv over an r-x zero-dilated input — the dilated
+    lowering does k*Cin MACs per output where only 2*Cin are nonzero.
     """
     k = kernel.shape[0]
+    if (
+        k == 2 * stride
+        and stride % 2 == 0
+        and padding == stride // 2
+        and output_padding == 0
+    ):
+        return _conv_transpose_polyphase(x, kernel, stride, padding)
     pad_lo = k - 1 - padding
     pad_hi = k - 1 - padding + output_padding
     flipped = jnp.flip(kernel, axis=0)          # (k, Cout, Cin)
@@ -44,6 +56,43 @@ def conv_transpose_1d(x, kernel, stride: int, padding: int, output_padding: int 
         lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"),
     )
+
+
+def _conv_transpose_polyphase(x, kernel, r: int, p: int):
+    """ConvTranspose1d(k=2r, s=r, p, op=0) as a single dense matmul.
+
+    Derivation: output position t*r + j draws from exactly two inputs,
+    x[t + d_j] with kernel tap j+p-d_j*r and x[t + d_j - 1] with tap
+    j+p-(d_j-1)*r, where d_j = (j+p)//r. Equivalently x[t] always contributes
+    via tap j+p, and x[t-1]/x[t+1] via taps j+p+r / j+p-r when valid — a 3-tap
+    window matmul to r*Cout features, reshaped to (T*r, Cout).
+    """
+    B, T, Cin = x.shape
+    k, Cout, _ = kernel.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
+    win = jnp.stack([xp[:, :-2], xp[:, 1:-1], xp[:, 2:]], axis=2)  # (B,T,3,Cin)
+
+    # (3, r, Cout, Cin) weight gather with static indices
+    rows = []
+    for slot, off_valid in ((0, lambda j: j + p + r < 2 * r),
+                            (1, lambda j: True),
+                            (2, lambda j: j + p - r >= 0)):
+        taps = []
+        for j in range(r):
+            if slot == 0:
+                tap = j + p + r
+            elif slot == 1:
+                tap = j + p
+            else:
+                tap = j + p - r
+            if off_valid(j):
+                taps.append(kernel[tap])
+            else:
+                taps.append(jnp.zeros_like(kernel[0]))
+        rows.append(jnp.stack(taps))          # (r, Cout, Cin)
+    W = jnp.stack(rows)                        # (3, r, Cout, Cin)
+    y = jnp.einsum("btsc,sroc->btro", win, W)  # (B, T, r, Cout)
+    return y.reshape(B, T * r, Cout)
 
 
 class ConvTranspose1dModule(nn.Module):
