@@ -160,3 +160,19 @@ def test_sampler_is_jittable(small_model, rng):
 
     out = run(params, jax.random.PRNGKey(0), cond)
     assert out.shape == (1, 12)
+
+
+def test_precomputed_tables_match_direct(small_model, rng):
+    """Hoisted AdaLN tables + cond K/V reproduce the direct forward exactly."""
+    model, params = small_model
+    tokens = jnp.asarray(rng.integers(0, 11, (2, 12)), jnp.int32)
+    cond = jnp.asarray(rng.standard_normal((2, 5, 16)), jnp.float32)
+    t = jnp.asarray([3, 3], jnp.int32)
+    want = model.apply(params, tokens, cond, t, method=model.backbone_logits)
+
+    tables = model.apply(params, method=model.ada_tables)
+    kvs = model.apply(params, cond, method=model.cond_kvs)
+    mods = [(tab1[3][None], tab2[3][None]) for tab1, tab2 in tables]
+    got = model.apply(params, tokens, cond, t, mods=mods, cond_kvs=kvs,
+                      method=model.backbone_logits)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

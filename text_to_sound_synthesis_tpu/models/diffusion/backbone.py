@@ -68,15 +68,30 @@ class AdaLayerNorm(nn.Module):
     emb_type: str = "adalayernorm"
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         if "abs" in self.emb_type:
-            emb = SinusoidalTimeEmb(self.diffusion_step, self.n_embd, name="emb")(t)
+            self.emb = SinusoidalTimeEmb(self.diffusion_step, self.n_embd, name="emb")
         else:
-            emb = nn.Embed(self.diffusion_step, self.n_embd, dtype=self.dtype, name="emb")(t)
-        emb = nn.Dense(2 * self.n_embd, dtype=self.dtype, name="linear")(nn.silu(emb))
-        scale, shift = jnp.split(emb[:, None, :], 2, axis=-1)
-        x = nn.LayerNorm(use_bias=False, use_scale=False, dtype=self.dtype, name="layernorm")(x)
+            self.emb = nn.Embed(self.diffusion_step, self.n_embd, dtype=self.dtype, name="emb")
+        self.linear = nn.Dense(2 * self.n_embd, dtype=self.dtype, name="linear")
+        self.layernorm = nn.LayerNorm(use_bias=False, use_scale=False,
+                                      dtype=self.dtype, name="layernorm")
+
+    def modulation(self, t: jnp.ndarray) -> jnp.ndarray:
+        """(B,) timesteps -> (B, 2*n_embd) scale|shift."""
+        return self.linear(nn.silu(self.emb(t)))
+
+    def table(self) -> jnp.ndarray:
+        """All-timestep modulation table (T, 2*n_embd) — step-invariant work
+        hoisted out of the sampler scan."""
+        return self.modulation(jnp.arange(self.diffusion_step))
+
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray,
+                 mod: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        if mod is None:
+            mod = self.modulation(t)
+        scale, shift = jnp.split(mod[:, None, :].astype(x.dtype), 2, axis=-1)
+        x = self.layernorm(x)
         return x * (1 + scale) + shift
 
 
@@ -91,20 +106,33 @@ class MultiHeadAttention(nn.Module):
     resid_pdrop: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, kv, *, deterministic: bool = True):
-        B, L, _ = x.shape
+    def setup(self):
+        self.query = nn.Dense(self.n_embd, dtype=self.dtype, name="query")
+        self.key = nn.Dense(self.n_embd, dtype=self.dtype, name="key")
+        self.value = nn.Dense(self.n_embd, dtype=self.dtype, name="value")
+        self.proj = nn.Dense(self.n_embd, dtype=self.dtype, name="proj")
+        self.attn_drop = nn.Dropout(self.attn_pdrop)
+        self.resid_drop = nn.Dropout(self.resid_pdrop)
+
+    def kv_proj(self, kv):
+        """Project keys/values once (step-invariant for a fixed condition)."""
         S = kv.shape[1]
         hd = self.n_embd // self.n_head
-        q = nn.Dense(self.n_embd, dtype=self.dtype, name="query")(x).reshape(B, L, self.n_head, hd)
-        k = nn.Dense(self.n_embd, dtype=self.dtype, name="key")(kv).reshape(B, S, self.n_head, hd)
-        v = nn.Dense(self.n_embd, dtype=self.dtype, name="value")(kv).reshape(B, S, self.n_head, hd)
+        k = self.key(kv).reshape(-1, S, self.n_head, hd)
+        v = self.value(kv).reshape(-1, S, self.n_head, hd)
+        return k, v
+
+    def __call__(self, x, kv, *, kv_cache=None, deterministic: bool = True):
+        B, L, _ = x.shape
+        hd = self.n_embd // self.n_head
+        q = self.query(x).reshape(B, L, self.n_head, hd)
+        k, v = kv_cache if kv_cache is not None else self.kv_proj(kv)
         att = jnp.einsum("blhd,bshd->bhls", q, k) / math.sqrt(hd)
         att = nn.softmax(att.astype(jnp.float32), axis=-1).astype(self.dtype)
-        att = nn.Dropout(self.attn_pdrop, deterministic=deterministic)(att)
+        att = self.attn_drop(att, deterministic=deterministic)
         y = jnp.einsum("bhls,bshd->blhd", att, v).reshape(B, L, self.n_embd)
-        y = nn.Dense(self.n_embd, dtype=self.dtype, name="proj")(y)
-        return nn.Dropout(self.resid_pdrop, deterministic=deterministic)(y)
+        y = self.proj(y)
+        return self.resid_drop(y, deterministic=deterministic)
 
 
 class SelfCrossBlock(nn.Module):
@@ -121,24 +149,42 @@ class SelfCrossBlock(nn.Module):
     timestep_type: str = "adalayernorm"
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, cond, t, *, deterministic: bool = True):
-        h = AdaLayerNorm(self.n_embd, self.diffusion_step, self.timestep_type,
-                         self.dtype, name="ln1")(x, t)
-        x = x + MultiHeadAttention(self.n_embd, self.n_head, self.attn_pdrop,
-                                   self.resid_pdrop, self.dtype, name="attn1")(
-            h, h, deterministic=deterministic)
-        h = AdaLayerNorm(self.n_embd, self.diffusion_step, self.timestep_type,
-                         self.dtype, name="ln1_1")(x, t)
-        x = x + MultiHeadAttention(self.n_embd, self.n_head, self.attn_pdrop,
-                                   self.resid_pdrop, self.dtype, name="attn2")(
-            h, cond, deterministic=deterministic)
-        h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+    def setup(self):
+        self.ln1 = AdaLayerNorm(self.n_embd, self.diffusion_step, self.timestep_type,
+                                self.dtype, name="ln1")
+        self.ln1_1 = AdaLayerNorm(self.n_embd, self.diffusion_step, self.timestep_type,
+                                  self.dtype, name="ln1_1")
+        self.attn1 = MultiHeadAttention(self.n_embd, self.n_head, self.attn_pdrop,
+                                        self.resid_pdrop, self.dtype, name="attn1")
+        self.attn2 = MultiHeadAttention(self.n_embd, self.n_head, self.attn_pdrop,
+                                        self.resid_pdrop, self.dtype, name="attn2")
+        self.ln2 = nn.LayerNorm(dtype=self.dtype, name="ln2")
+        self.mlp_fc1 = nn.Dense(self.mlp_hidden_times * self.n_embd, dtype=self.dtype,
+                                name="mlp_fc1")
+        self.mlp_fc2 = nn.Dense(self.n_embd, dtype=self.dtype, name="mlp_fc2")
+        self.mlp_drop = nn.Dropout(self.resid_pdrop)
+
+    def ada_tables(self):
+        """(T, 2D) modulation tables for both AdaLNs."""
+        return self.ln1.table(), self.ln1_1.table()
+
+    def cond_kv(self, cond):
+        """Step-invariant cross-attention K/V projections of the condition."""
+        return self.attn2.kv_proj(cond)
+
+    def __call__(self, x, cond, t, *, mods=None, cond_kv=None,
+                 deterministic: bool = True):
+        """``mods``: optional ((B, 2D), (B, 2D)) precomputed AdaLN modulations;
+        ``cond_kv``: optional precomputed (k, v) for the cross attention."""
+        m1, m2 = mods if mods is not None else (None, None)
+        h = self.ln1(x, t, mod=m1)
+        x = x + self.attn1(h, h, deterministic=deterministic)
+        h = self.ln1_1(x, t, mod=m2)
+        x = x + self.attn2(h, cond, kv_cache=cond_kv, deterministic=deterministic)
+        h = self.ln2(x)
         act = _ACT[self.activate]
-        h = nn.Dense(self.mlp_hidden_times * self.n_embd, dtype=self.dtype, name="mlp_fc1")(h)
-        h = act(h)
-        h = nn.Dense(self.n_embd, dtype=self.dtype, name="mlp_fc2")(h)
-        h = nn.Dropout(self.resid_pdrop, deterministic=deterministic)(h)
+        h = self.mlp_fc2(act(self.mlp_fc1(h)))
+        h = self.mlp_drop(h, deterministic=deterministic)
         return x + h
 
 
@@ -195,15 +241,30 @@ class Text2SpecTransformer(nn.Module):
     def num_classes(self) -> int:
         return self.content_emb.num_classes
 
+    def ada_tables(self):
+        """Per-block ((T, 2D), (T, 2D)) AdaLN modulation tables — step-invariant
+        sampler work hoisted out of the scan."""
+        return [blk.ada_tables() for blk in self.blocks]
+
+    def cond_kvs(self, cond_emb: jnp.ndarray):
+        """Per-block precomputed cross-attention (k, v) of a fixed condition."""
+        cond = cond_emb.astype(self.dtype)
+        return [blk.cond_kv(cond) for blk in self.blocks]
+
     def __call__(self, tokens: jnp.ndarray, cond_emb: jnp.ndarray, t: jnp.ndarray,
-                 *, deterministic: bool = True) -> jnp.ndarray:
+                 *, mods=None, cond_kvs=None, deterministic: bool = True) -> jnp.ndarray:
         """tokens (B, L) int; cond_emb (B, S, condition_dim); t (B,) int.
 
         Returns logits (B, L, num_classes - 1) — classes last (the reference
         returns (B, C, L); we keep L, C which is the natural TPU layout).
+        ``mods``/``cond_kvs``: optional per-block precomputed AdaLN modulations
+        and cross-attention projections (see ada_tables/cond_kvs).
         """
         x = self.content_emb(tokens)
         cond = cond_emb.astype(self.dtype)
-        for blk in self.blocks:
-            x = blk(x, cond, t, deterministic=deterministic)
+        for i, blk in enumerate(self.blocks):
+            x = blk(x, cond, t,
+                    mods=mods[i] if mods is not None else None,
+                    cond_kv=cond_kvs[i] if cond_kvs is not None else None,
+                    deterministic=deterministic)
         return self.to_logits(self.norm_out(x))

@@ -146,14 +146,23 @@ class DiscreteDiffusion(nn.Module):
 
     # -- p(x0 | x_t) ---------------------------------------------------------
 
+    def ada_tables(self):
+        """Hoistable AdaLN tables (see backbone.ada_tables)."""
+        return self.backbone.ada_tables()
+
+    def cond_kvs(self, cond_emb):
+        """Hoistable cross-attention K/V (see backbone.cond_kvs)."""
+        return self.backbone.cond_kvs(cond_emb)
+
     def predict_start(self, tokens: jnp.ndarray, cond_emb: jnp.ndarray, t: jnp.ndarray,
-                      *, deterministic: bool = True) -> jnp.ndarray:
+                      *, mods=None, cond_kvs=None, deterministic: bool = True) -> jnp.ndarray:
         """token ids (B, L) -> log p(x0 | x_t) over K classes (B, L, K).
 
         log_softmax over the K-1 real classes (stable f32; reference does f64,
         diffusion_transformer.py:285), MASK column pinned at -70, clamp [-70, 0].
         """
-        logits = self.backbone(tokens, cond_emb, t, deterministic=deterministic)
+        logits = self.backbone(tokens, cond_emb, t, mods=mods, cond_kvs=cond_kvs,
+                               deterministic=deterministic)
         log_pred = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         mask_col = jnp.full(log_pred.shape[:-1] + (1,), dd.MIN_LOGP, log_pred.dtype)
         log_pred = jnp.concatenate([log_pred, mask_col], axis=-1)
@@ -163,9 +172,11 @@ class DiscreteDiffusion(nn.Module):
         """Convenience forward = predict_start (used for init/jit warmup)."""
         return self.predict_start(tokens, cond_emb, t, deterministic=deterministic)
 
-    def backbone_logits(self, tokens, cond_emb, t, *, deterministic: bool = True):
-        """Raw denoiser logits (B, L, K-1) — conversion-parity hook."""
-        return self.backbone(tokens, cond_emb, t, deterministic=deterministic)
+    def backbone_logits(self, tokens, cond_emb, t, *, mods=None, cond_kvs=None,
+                        deterministic: bool = True):
+        """Raw denoiser logits (B, L, K-1) — conversion-parity + sampler hook."""
+        return self.backbone(tokens, cond_emb, t, mods=mods, cond_kvs=cond_kvs,
+                             deterministic=deterministic)
 
     # -- training loss -------------------------------------------------------
 
@@ -364,12 +375,19 @@ def sample_tokens_fused(
     ts, t_post = _timestep_plan(T, plan_start, skip_step)
     seed_base = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
 
+    # hoist step-invariant work out of the scan: AdaLN modulation tables for
+    # every t, and the cross-attention K/V of the fixed condition
+    tables = model.apply(params, method=model.ada_tables)
+    kvs = model.apply(params, cond_emb, method=model.cond_kvs)
+
     def step(carry, inputs):
         tokens, key = carry
         (t_scalar, t_post_scalar), idx = inputs
         t_vec = jnp.full((B,), t_scalar, jnp.int32)
-        logits = model.apply(params, tokens, cond_emb, t_vec,
-                             method=model.backbone_logits)
+        mods = [(tab1[t_scalar][None], tab2[t_scalar][None])
+                for tab1, tab2 in tables]
+        logits = model.apply(params, tokens, cond_emb, t_vec, mods=mods,
+                             cond_kvs=kvs, method=model.backbone_logits)
         coeffs = fs.step_coeffs(sched, t_post_scalar)
         if use_kernel:
             tokens = fs.fused_p_sample(logits, tokens, coeffs,
