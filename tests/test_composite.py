@@ -166,3 +166,18 @@ def test_tiny_diffsound_loss_and_generate(tiny_diffsound, rng):
 
     rec = model.reconstruct(params, mel)
     assert rec.shape == mel.shape
+
+
+@pytest.mark.slow
+def test_sample_grid(tiny_diffsound, rng):
+    """DALLE.sample-equivalent visualization grid over filter ratios."""
+    model = tiny_diffsound
+    key = jax.random.PRNGKey(0)
+    params = model.init_params(key, mel_shape=(1, 4, 16, 1))
+    mel = jnp.asarray(rng.standard_normal((1, 4, 16, 1)).astype(np.float32))
+    toks = jnp.asarray(model.text_to_tokens(["a dog barks"])["token"][:, :12])
+    out = model.sample_grid(params, key, mel, toks, filter_ratios=(0.0, 0.5))
+    assert set(out) == {"input_image", "reconstruction_image",
+                        "cond1_cont1.0_fr0.0_image", "cond1_cont1.0_fr0.5_image"}
+    for v in out.values():
+        assert v.shape == mel.shape

@@ -208,6 +208,30 @@ class Diffsound:
         """Codec round-trip (DALLE.reconstruct, dalle_spec.py:249-261)."""
         return self.decode_tokens(params, self.encode_content(params, mel))
 
+    def sample_grid(
+        self,
+        params,
+        key: jax.Array,
+        mel: jnp.ndarray,
+        cond_tokens: jnp.ndarray,
+        *,
+        filter_ratios: Sequence[float] = (0.0, 0.5, 1.0),
+        sample_type: str = "top0.85r",
+    ) -> dict:
+        """Train-time visualization grid (DALLE.sample, dalle_spec.py:263-338):
+        input, codec reconstruction, and generations started from increasingly
+        corrupted encodings of the input (filter_ratio 0 = pure text-to-sound)."""
+        out = {"input_image": mel,
+               "reconstruction_image": self.reconstruct(params, mel)}
+        content = self.encode_content(params, mel)
+        for fr in filter_ratios:
+            key, k = jax.random.split(key)
+            out[f"cond1_cont1.0_fr{fr}_image"] = self.generate(
+                params, k, cond_tokens, sample_type=sample_type,
+                filter_ratio=fr, content_tokens=content if fr > 0 else None,
+            )
+        return out
+
 
 def build_model(config: Mapping[str, Any]) -> Diffsound:
     """``build_model(config['model'])`` equivalent of

@@ -31,6 +31,8 @@ def get_args():
     p.add_argument("--config_file", required=True)
     p.add_argument("--ckpt", required=True, help="converted orbax dir or torch .pth")
     p.add_argument("--vocoder", default=None, help="MelGAN logdir (args.yml + best_netG.pt)")
+    p.add_argument("--griffin_lim", action="store_true",
+                   help="Griffin-Lim fallback vocoder when no MelGAN is given")
     p.add_argument("--csv", default=None, help="AudioCaps val csv: rows of name,caption")
     p.add_argument("--caption", action="append", default=None)
     p.add_argument("--outdir", default="samples")
@@ -75,6 +77,12 @@ def main():
         from text_to_sound_synthesis_tpu.models.melgan.interface import load_vocoder
 
         vocoder = load_vocoder(args.vocoder)
+    elif args.griffin_lim:
+        from text_to_sound_synthesis_tpu.ops.signal import mel_to_wav_np
+
+        # Griffin-Lim fallback (the reference's VocoderGriffinLim path,
+        # Codebook/train.py:358-381) — audible but lower quality than MelGAN
+        vocoder = lambda spec: np.stack([mel_to_wav_np(s) for s in spec])
 
     if args.csv:
         with open(args.csv) as f:

@@ -120,10 +120,12 @@ def main():
             state, metrics = step(state, lpaps_params, mel, lr)
             it = int(jax.device_get(state.step))
             if it % 100 == 0:
+                # codebook-usage diagnostic (vqgan.py:110-118 histogram analogue)
+                used = len(np.unique(np.asarray(metrics["indices"])))
                 logger.log_info(
                     f"e{epoch} it{it} total {float(metrics['total_loss']):.4f} "
                     f"nll {float(metrics['nll_loss']):.4f} perp {float(metrics['perplexity']):.1f} "
-                    f"d {float(metrics['disc_loss']):.4f}"
+                    f"d {float(metrics['disc_loss']):.4f} codes_used {used}/{mp['n_embed']}"
                 )
                 for k in ("total_loss", "nll_loss", "quant_loss", "perplexity", "disc_loss"):
                     logger.add_scalar(f"train/{k}", float(metrics[k]), it)
