@@ -176,3 +176,47 @@ def test_precomputed_tables_match_direct(small_model, rng):
     got = model.apply(params, tokens, cond, t, mods=mods, cond_kvs=kvs,
                       method=model.backbone_logits)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_class_conditional_and_unconditional_backbones(rng):
+    from text_to_sound_synthesis_tpu.models.diffusion.backbone import (
+        Condition2SpecTransformer,
+        UnCondition2SpecTransformer,
+    )
+
+    emb = {"params": {"num_embed": 10, "embed_dim": 32, "spatial_size": (3, 4)}}
+    tokens = jnp.asarray(rng.integers(0, 11, (2, 12)), jnp.int32)
+    t = jnp.asarray([1, 5], jnp.int32)
+
+    cc = Condition2SpecTransformer(class_number=7, n_layer=1, n_embd=32, n_head=4,
+                                   content_seq_len=12, diffusion_step=8,
+                                   content_spatial_size=(3, 4), content_emb_config=emb)
+    cls = jnp.asarray([2, 5], jnp.int32)
+    p = cc.init(jax.random.PRNGKey(0), tokens, cls, t)
+    out = cc.apply(p, tokens, cls, t)
+    assert out.shape == (2, 12, 10)
+    # class conditioning changes the output
+    out2 = cc.apply(p, tokens, jnp.asarray([3, 5], jnp.int32), t)
+    assert not np.allclose(np.asarray(out)[0], np.asarray(out2)[0])
+    np.testing.assert_allclose(np.asarray(out)[1], np.asarray(out2)[1], atol=1e-6)
+
+    uc = UnCondition2SpecTransformer(n_layer=1, n_embd=32, n_head=4,
+                                     content_seq_len=12, diffusion_step=8,
+                                     content_spatial_size=(3, 4), content_emb_config=emb)
+    p = uc.init(jax.random.PRNGKey(0), tokens, None, t)
+    out = uc.apply(p, tokens, None, t)
+    assert out.shape == (2, 12, 10)
+
+
+def test_gpt_class_conditioning(rng):
+    from text_to_sound_synthesis_tpu.models.gpt.model import GPTClass
+
+    model = GPTClass(
+        token_embedding_config={"params": {"num_embeddings": 5, "features": 16}},
+        GPT_config=dict(vocab_size=12, block_size=10, n_layer=1, n_head=2, n_embd=16),
+    )
+    idx = jnp.asarray(rng.integers(0, 12, (2, 4)), jnp.int32)
+    cls = jnp.asarray([1, 3], jnp.int32)
+    p = model.init(jax.random.PRNGKey(0), idx, cls)
+    out = model.apply(p, idx, cls)
+    assert out.shape == (2, 5, 12)  # 1 class token + 4 content tokens

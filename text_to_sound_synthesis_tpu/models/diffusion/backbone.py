@@ -188,6 +188,180 @@ class SelfCrossBlock(nn.Module):
         return x + h
 
 
+class SelfConditionBlock(nn.Module):
+    """'selfcondition' block: AdaLN(t) -> self-attn, then class-conditioned
+    AdaLN before the MLP (Block with attn_type='selfcondition',
+    transformer_utils.py:207-219, 261-265)."""
+
+    n_embd: int
+    n_head: int
+    diffusion_step: int
+    class_number: int = 1000
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    mlp_hidden_times: int = 4
+    activate: str = "GELU2"
+    timestep_type: str = "adalayernorm"
+    class_type: str = "adalayernorm"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, class_idx, t, *, deterministic: bool = True):
+        h = AdaLayerNorm(self.n_embd, self.diffusion_step, self.timestep_type,
+                         self.dtype, name="ln1")(x, t)
+        x = x + MultiHeadAttention(self.n_embd, self.n_head, self.attn_pdrop,
+                                   self.resid_pdrop, self.dtype, name="attn")(
+            h, h, deterministic=deterministic)
+        h = AdaLayerNorm(self.n_embd, self.class_number, self.class_type,
+                         self.dtype, name="ln2")(x, class_idx)
+        act = _ACT[self.activate]
+        h = nn.Dense(self.mlp_hidden_times * self.n_embd, dtype=self.dtype,
+                     name="mlp_fc1")(h)
+        h = nn.Dense(self.n_embd, dtype=self.dtype, name="mlp_fc2")(act(h))
+        return x + nn.Dropout(self.resid_pdrop, deterministic=deterministic)(h)
+
+
+class SelfBlock(nn.Module):
+    """'self' block: AdaLN(t) -> self-attn -> LN -> MLP (unconditional)."""
+
+    n_embd: int
+    n_head: int
+    diffusion_step: int
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    mlp_hidden_times: int = 4
+    activate: str = "GELU2"
+    timestep_type: str = "adalayernorm"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, *, deterministic: bool = True):
+        h = AdaLayerNorm(self.n_embd, self.diffusion_step, self.timestep_type,
+                         self.dtype, name="ln1")(x, t)
+        x = x + MultiHeadAttention(self.n_embd, self.n_head, self.attn_pdrop,
+                                   self.resid_pdrop, self.dtype, name="attn")(
+            h, h, deterministic=deterministic)
+        h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        act = _ACT[self.activate]
+        h = nn.Dense(self.mlp_hidden_times * self.n_embd, dtype=self.dtype,
+                     name="mlp_fc1")(h)
+        h = nn.Dense(self.n_embd, dtype=self.dtype, name="mlp_fc2")(act(h))
+        return x + nn.Dropout(self.resid_pdrop, deterministic=deterministic)(h)
+
+
+@register(
+    "text_to_sound_synthesis_tpu.models.diffusion.Condition2SpecTransformer",
+    "sound_synthesis.modeling.transformers.transformer_utils.Condition2ImageTransformer",
+)
+class Condition2SpecTransformer(nn.Module):
+    """Class-conditional denoiser (Condition2ImageTransformer,
+    transformer_utils.py:445-585): tokens + class id + t -> logits."""
+
+    class_number: int = 1000
+    n_layer: int = 24
+    n_embd: int = 1024
+    n_head: int = 16
+    content_seq_len: int = 265
+    diffusion_step: int = 100
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    mlp_hidden_times: int = 4
+    block_activate: str = "GELU2"
+    attn_type: str = "selfcondition"
+    class_type: str = "adalayernorm"
+    timestep_type: str = "adalayernorm"
+    mlp_type: str = "fc"
+    content_spatial_size: Any = (5, 53)
+    content_emb_config: Optional[Mapping[str, Any]] = None
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        emb_params = dict((self.content_emb_config or {}).get("params", {}))
+        emb_params.setdefault("spatial_size", tuple(self.content_spatial_size))
+        emb_params["spatial_size"] = tuple(emb_params["spatial_size"])
+        self.content_emb = ContentEmbedding(dtype=self.dtype, **emb_params)
+        self.blocks = [
+            SelfConditionBlock(
+                n_embd=self.n_embd, n_head=self.n_head,
+                diffusion_step=self.diffusion_step, class_number=self.class_number,
+                attn_pdrop=self.attn_pdrop, resid_pdrop=self.resid_pdrop,
+                mlp_hidden_times=self.mlp_hidden_times, activate=self.block_activate,
+                timestep_type=self.timestep_type, class_type=self.class_type,
+                dtype=self.dtype, name=f"block_{i}",
+            )
+            for i in range(self.n_layer)
+        ]
+        self.norm_out = nn.LayerNorm(dtype=self.dtype, name="norm_out")
+        self.to_logits = nn.Dense(self.content_emb.num_classes - 1,
+                                  dtype=self.dtype, name="head")
+
+    @property
+    def num_classes(self) -> int:
+        return self.content_emb.num_classes
+
+    def __call__(self, tokens, class_idx, t, *, deterministic: bool = True):
+        x = self.content_emb(tokens)
+        class_idx = class_idx.reshape(-1).astype(jnp.int32)
+        for blk in self.blocks:
+            x = blk(x, class_idx, t, deterministic=deterministic)
+        return self.to_logits(self.norm_out(x))
+
+
+@register(
+    "text_to_sound_synthesis_tpu.models.diffusion.UnCondition2SpecTransformer",
+    "sound_synthesis.modeling.transformers.transformer_utils.UnCondition2ImageTransformer",
+)
+class UnCondition2SpecTransformer(nn.Module):
+    """Unconditional denoiser (UnCondition2ImageTransformer,
+    transformer_utils.py:588-725)."""
+
+    n_layer: int = 24
+    n_embd: int = 512
+    n_head: int = 16
+    content_seq_len: int = 256
+    diffusion_step: int = 100
+    attn_pdrop: float = 0.0
+    resid_pdrop: float = 0.0
+    mlp_hidden_times: int = 4
+    block_activate: str = "GELU2"
+    attn_type: str = "self"
+    timestep_type: str = "adalayernorm"
+    mlp_type: str = "fc"
+    content_spatial_size: Any = (16, 16)
+    content_emb_config: Optional[Mapping[str, Any]] = None
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        emb_params = dict((self.content_emb_config or {}).get("params", {}))
+        emb_params.setdefault("spatial_size", tuple(self.content_spatial_size))
+        emb_params["spatial_size"] = tuple(emb_params["spatial_size"])
+        self.content_emb = ContentEmbedding(dtype=self.dtype, **emb_params)
+        self.blocks = [
+            SelfBlock(
+                n_embd=self.n_embd, n_head=self.n_head,
+                diffusion_step=self.diffusion_step, attn_pdrop=self.attn_pdrop,
+                resid_pdrop=self.resid_pdrop, mlp_hidden_times=self.mlp_hidden_times,
+                activate=self.block_activate, timestep_type=self.timestep_type,
+                dtype=self.dtype, name=f"block_{i}",
+            )
+            for i in range(self.n_layer)
+        ]
+        self.norm_out = nn.LayerNorm(dtype=self.dtype, name="norm_out")
+        self.to_logits = nn.Dense(self.content_emb.num_classes - 1,
+                                  dtype=self.dtype, name="head")
+
+    @property
+    def num_classes(self) -> int:
+        return self.content_emb.num_classes
+
+    def __call__(self, tokens, cond, t, *, deterministic: bool = True):
+        """``cond`` accepted and ignored (unconditional)."""
+        x = self.content_emb(tokens)
+        for blk in self.blocks:
+            x = blk(x, t, deterministic=deterministic)
+        return self.to_logits(self.norm_out(x))
+
+
 @register(
     "text_to_sound_synthesis_tpu.models.diffusion.Text2SpecTransformer",
     "sound_synthesis.modeling.transformers.transformer_utils.Text2ImageTransformer",

@@ -231,6 +231,47 @@ class GPTFeats(nn.Module):
         return self.gpt.decode_token(token, cache, pos)
 
 
+@register(
+    "text_to_sound_synthesis_tpu.models.gpt.GPTClass",
+    "specvqgan.modules.transformer.mingpt.GPTClass",
+)
+class GPTClass(nn.Module):
+    """GPT conditioned on a prepended class-token embedding
+    (mingpt.py:295-305; cond stage ``ClassOnlyStage``)."""
+
+    token_embedding_config: Optional[Mapping[str, Any]] = None
+    GPT_config: Optional[Mapping[str, Any]] = None
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        gcfg = dict(self.GPT_config or {})
+        self.gpt = GPT(dtype=self.dtype, name="gpt",
+                       **{k: v for k, v in gcfg.items() if k in GPT.__dataclass_fields__})
+        p = dict((self.token_embedding_config or {}).get("params") or {})
+        self.embedder = nn.Embed(p.get("num_embeddings", p.get("n_classes", 1000)),
+                                 p.get("features", p.get("embedding_dim", self.gpt.n_embd)),
+                                 dtype=self.dtype, name="embedder")
+
+    def embed_feats(self, cls_idx: jnp.ndarray) -> jnp.ndarray:
+        """(B,) or (B, 1) class ids -> (B, 1, n_embd)."""
+        if cls_idx.ndim == 1:
+            cls_idx = cls_idx[:, None]
+        return self.embedder(cls_idx)
+
+    def __call__(self, idx, cls_idx, *, deterministic: bool = True):
+        return self.gpt(idx, embeddings=self.embed_feats(cls_idx),
+                        deterministic=deterministic)
+
+    def init_cache(self, batch, max_len=None):
+        return self.gpt.init_cache(batch, max_len)
+
+    def decode_embedded(self, x_emb, cache, pos):
+        return self.gpt.decode_embedded(x_emb, cache, pos)
+
+    def decode_token(self, token, cache, pos):
+        return self.gpt.decode_token(token, cache, pos)
+
+
 def ar_sample(
     model,
     params,
