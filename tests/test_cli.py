@@ -1,0 +1,72 @@
+"""CLI smoke tests: drive the user-facing tools end to end (in-process)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+
+def _write_tiny_config(path):
+    import yaml
+
+    from tests.test_composite import TINY_MODEL_CFG
+    with open(path, "w") as f:
+        yaml.safe_dump({"model": _plain(TINY_MODEL_CFG)}, f)
+
+
+def _plain(obj):
+    if isinstance(obj, dict):
+        return {k: _plain(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_plain(v) for v in obj]
+    return obj
+
+
+@pytest.mark.slow
+def test_generate_cli_smoke(tmp_path, monkeypatch):
+    from tests.test_composite import _has_bpe
+    if not _has_bpe():
+        pytest.skip("BPE artifact unavailable")
+
+    cfg_path = tmp_path / "tiny.yaml"
+    _write_tiny_config(str(cfg_path))
+    outdir = tmp_path / "samples"
+
+    import generate as gen_cli
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["generate.py", "--config_file", str(cfg_path), "--ckpt", "random",
+         "--caption", "a dog barks", "--outdir", str(outdir),
+         "--replicate", "2", "--batch", "2", "--sample_type", "top0.85r"],
+    )
+    gen_cli.main()
+
+    files = sorted(os.listdir(outdir))
+    assert files == ["caption0_sample_0.npy", "caption0_sample_1.npy"]
+    spec = np.load(outdir / files[0])
+    assert spec.shape == (4, 16)  # tiny codec geometry
+    assert np.isfinite(spec).all()
+
+
+@pytest.mark.slow
+def test_evaluate_cli_smoke(tmp_path, monkeypatch, rng):
+    gen = tmp_path / "gen"; gen.mkdir()
+    ref = tmp_path / "ref"; ref.mkdir()
+    for i in range(3):
+        base = rng.random((80, 64)).astype(np.float32)
+        np.save(ref / f"c{i}_mel.npy", base)
+        np.save(gen / f"c{i}_sample_0.npy", base)
+
+    import evaluate as eval_cli
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["evaluate.py", f"input1.path={gen}", f"input2.path={ref}",
+         "num_classes=9", "batch=4", "have_kid=false", "have_fid=false"],
+    )
+    eval_cli.main()  # prints metrics; must not raise

@@ -47,6 +47,8 @@ def load_params(model, ckpt, seed=0):
     import jax
 
     template = model.init_params(jax.random.PRNGKey(seed))
+    if ckpt == "random":  # smoke-test / bring-up mode
+        return template
     if ckpt.endswith((".pth", ".ckpt", ".pt")):
         from text_to_sound_synthesis_tpu.convert.torch_to_jax import (
             convert_diffsound_checkpoint,
