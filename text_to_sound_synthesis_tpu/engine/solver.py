@@ -28,7 +28,6 @@ from ..utils.config import instantiate_from_config
 from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
 from .logger import Logger
 from .optimizers import build_optimizer
-from .schedulers import ReduceLROnPlateauWithWarmup
 from .train_state import DiffusionTrainState, make_train_step
 
 __all__ = ["Solver"]

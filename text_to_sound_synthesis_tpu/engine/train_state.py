@@ -13,7 +13,6 @@ the reference's ``find_unused_parameters=True`` DDP workaround (solver_spec.py:1
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax

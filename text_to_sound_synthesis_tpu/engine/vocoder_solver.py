@@ -17,7 +17,7 @@ updates against the JUST-UPDATED discriminator.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

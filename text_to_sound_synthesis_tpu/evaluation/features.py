@@ -14,7 +14,7 @@ TPU-native: one jitted batched forward; multi-host extraction shards files by
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 

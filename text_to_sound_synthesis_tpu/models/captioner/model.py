@@ -15,7 +15,7 @@ the best samples per caption (``AudiocaptionLoss/eval.py:27-59``).
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

@@ -16,7 +16,7 @@ Weights come from the released CLIP checkpoint via convert/torch_to_jax.py
 from __future__ import annotations
 
 import math
-from typing import Optional
+
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -13,7 +13,7 @@ with AudioSet-trained weights — same module, different converted checkpoint.
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import numpy as np
 

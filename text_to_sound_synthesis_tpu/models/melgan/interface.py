@@ -9,7 +9,7 @@ torch ``best_netG.pt`` directly (weight norm folded on the fly).
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+
 
 import numpy as np
 
