@@ -61,10 +61,21 @@ def extract_features(
     means: Optional[np.ndarray] = None,
     stds: Optional[np.ndarray] = None,
     crop_len: Optional[int] = None,
+    multihost: bool = False,
 ) -> Dict[str, np.ndarray]:
-    """Returns {'<tap>': (N, D) arrays, 'file_path_': [paths]}."""
+    """Returns {'<tap>': (N, D) arrays, 'file_path_': [paths]}.
+
+    ``multihost=True`` shards the file list across ``jax.process_count()`` hosts
+    and gathers results (the DDP DistributedSampler + ``all_gather_object`` path
+    of ``Codebook/evaluate.py:123-132``). No-op on a single host.
+    """
     mean_v = np.asarray(means, np.float32).reshape(-1, 1) if means is not None else 0.0
     std_v = np.asarray(stds, np.float32).reshape(-1, 1) if stds is not None else 1.0
+
+    n = len(folder)
+    indices = list(range(n))
+    if multihost and jax.process_count() > 1:
+        indices = indices[jax.process_index() :: jax.process_count()]
 
     @jax.jit
     def forward(batch):
@@ -72,9 +83,8 @@ def extract_features(
 
     feats: Dict[str, List[np.ndarray]] = {}
     paths: List[str] = []
-    n = len(folder)
-    for start in range(0, n, batch_size):
-        idx = range(start, min(start + batch_size, n))
+    for start in range(0, len(indices), batch_size):
+        idx = indices[start : start + batch_size]
         specs, batch_paths = zip(*[folder[i] for i in idx])
         specs = [s[:, :crop_len] if crop_len else s for s in specs]
         batch = np.stack([(s - mean_v) / std_v for s in specs]).astype(np.float32)
@@ -88,6 +98,20 @@ def extract_features(
         paths.extend(batch_paths)
     result = {k: np.concatenate(v, axis=0) for k, v in feats.items()}
     result["file_path_"] = paths
+    if multihost and jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        gathered = {
+            k: np.concatenate(multihost_utils.process_allgather(v), axis=0)
+            for k, v in result.items() if k != "file_path_"
+        }
+        # paths are strings: gather via the folder's deterministic ordering
+        all_paths = []
+        for p in range(jax.process_count()):
+            all_paths.extend(folder[i][1] for i in range(n)
+                             if i % jax.process_count() == p)
+        gathered["file_path_"] = all_paths
+        return gathered
     return result
 
 

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Training-throughput benchmark: full Stage-2 train step at production size.
+
+Reference training scale (SURVEY §6): batch 20/chip on the 19L x 1024d denoiser
+with frozen VQGAN encode + frozen CLIP embed per step. Prints one JSON line per
+batch size: steps/sec, clips/sec/chip, and content tokens/sec.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(
+    __import__("os").path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+
+    from text_to_sound_synthesis_tpu.engine.clip_grad import ClipGradNorm
+    from text_to_sound_synthesis_tpu.engine.optimizers import build_optimizer
+    from text_to_sound_synthesis_tpu.engine.train_state import (
+        DiffusionTrainState,
+        make_train_step,
+    )
+    from text_to_sound_synthesis_tpu.models.diffsound import build_model
+    from text_to_sound_synthesis_tpu.utils.config import load_yaml_config
+
+    cfg = load_yaml_config("configs/diffsound_audiocaps.yaml")
+    # bf16 activations for the trainable transformer
+    cfg["model"]["params"]["diffusion_config"]["params"]["transformer_config"][
+        "params"]["checkpoint"] = False
+    model = build_model(cfg)
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    params = jax.jit(lambda k: model.init_params(k))(key)
+    print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
+    frozen = {"codec": params["codec"], "cond": params["cond"]}
+
+    tx = build_optimizer({"target": "adamw",
+                          "params": {"betas": (0.9, 0.96), "weight_decay": 0.045}}, 3e-6)
+    clip = ClipGradNorm(0, 5000, 0.5)
+    step = make_train_step(model, tx, clip, ema_decay=0.99, ema_interval=25)
+    rng = np.random.default_rng(0)
+
+    for B in (20,):
+        state = DiffusionTrainState.create(params["diffusion"], tx, num_timesteps=100)
+        batch = {
+            "image": jnp.asarray(rng.standard_normal((B, 80, 848, 1)), jnp.float32),
+            "condition_token": jnp.asarray(rng.integers(0, 49408, (B, 77)), jnp.int32),
+        }
+        t0 = time.time()
+        state, metrics = step(state, frozen, batch, jax.random.PRNGKey(1), 3e-6)
+        _ = float(jax.device_get(metrics.loss))
+        print(f"compile+first step (B={B}): {time.time() - t0:.1f}s", file=sys.stderr)
+
+        iters = 10
+        t0 = time.time()
+        for i in range(iters):
+            state, metrics = step(state, frozen, batch, jax.random.PRNGKey(2 + i), 3e-6)
+        _ = float(jax.device_get(metrics.loss))
+        dt = (time.time() - t0) / iters
+        print(json.dumps({
+            "config": f"diffsound_train_step_batch{B}",
+            "steps_per_sec": round(1.0 / dt, 3),
+            "clips_per_sec_per_chip": round(B / dt, 2),
+            "content_tokens_per_sec": round(B * 265 / dt, 0),
+        }))
+
+
+if __name__ == "__main__":
+    main()
