@@ -77,6 +77,9 @@ class Diffsound:
         condition_info: Mapping[str, Any] = {"key": "text"},
         dtype=jnp.float32,
     ):
+        if isinstance(dtype, str):  # config files say e.g. dtype: bfloat16
+            dtype = jnp.dtype(dtype)
+        self.dtype = dtype
         self.content_info = dict(content_info)
         self.condition_info = dict(condition_info)
         self.codec: VQModel = instantiate_from_config(

