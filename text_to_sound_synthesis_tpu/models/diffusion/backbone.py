@@ -125,6 +125,8 @@ class MultiHeadAttention(nn.Module):
     def __call__(self, x, kv, *, kv_cache=None, deterministic: bool = True):
         B, L, _ = x.shape
         hd = self.n_embd // self.n_head
+        # NOTE: a fused qkv matmul (call-time kernel concat) was tried and
+        # measured performance-neutral inside the sampler scan — reverted.
         q = self.query(x).reshape(B, L, self.n_head, hd)
         k, v = kv_cache if kv_cache is not None else self.kv_proj(kv)
         att = jnp.einsum("blhd,bshd->bhls", q, k) / math.sqrt(hd)
