@@ -109,3 +109,15 @@ def test_build_dataloader_schema(tmp_path):
     assert out["validation_loader"] is None
     batches = list(out["train_loader"])
     assert len(batches) == 2
+
+
+def test_sharded_loader_threaded_workers(tmp_path):
+    root = str(tmp_path)
+    _make_caps_layout(root, n=8)
+    ds = CapsDataset(data_root=root, phase="train")
+    ld = ShardedLoader(ds, batch_size=4, seed=0, num_shards=1, shard_index=0,
+                       num_workers=3)
+    batches = list(ld)
+    assert len(batches) == 2
+    seen = {t.split()[-1] for b in batches for t in b["text"]}
+    assert len(seen) == 8

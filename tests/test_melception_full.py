@@ -1,0 +1,198 @@
+"""Full-network Melception cross-check vs an independent torch transcription.
+
+torchvision is absent from this image, so this test carries its own torch
+implementation of the Melception architecture (torchvision Inception3 with the
+1-channel stem and removed maxpools, as defined by
+``Codebook/evaluation/feature_extractors/melception.py``). Agreement between
+two independent implementations in two frameworks — through the converter's
+BN folding and name mapping — is the strongest check available without the
+released checkpoint.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn
+import torch.nn.functional as tF
+
+
+class TBasicConv(tnn.Module):
+    def __init__(self, cin, cout, **kw):
+        super().__init__()
+        self.conv = tnn.Conv2d(cin, cout, bias=False, **kw)
+        self.bn = tnn.BatchNorm2d(cout, eps=1e-3)
+
+    def forward(self, x):
+        return tF.relu(self.bn(self.conv(x)))
+
+
+class TInceptionA(tnn.Module):
+    def __init__(self, cin, pool):
+        super().__init__()
+        self.branch1x1 = TBasicConv(cin, 64, kernel_size=1)
+        self.branch5x5_1 = TBasicConv(cin, 48, kernel_size=1)
+        self.branch5x5_2 = TBasicConv(48, 64, kernel_size=5, padding=2)
+        self.branch3x3dbl_1 = TBasicConv(cin, 64, kernel_size=1)
+        self.branch3x3dbl_2 = TBasicConv(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = TBasicConv(96, 96, kernel_size=3, padding=1)
+        self.branch_pool = TBasicConv(cin, pool, kernel_size=1)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch1x1(x),
+            self.branch5x5_2(self.branch5x5_1(x)),
+            self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+            self.branch_pool(tF.avg_pool2d(x, 3, stride=1, padding=1)),
+        ], 1)
+
+
+class TInceptionB(tnn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3 = TBasicConv(cin, 384, kernel_size=3, stride=2)
+        self.branch3x3dbl_1 = TBasicConv(cin, 64, kernel_size=1)
+        self.branch3x3dbl_2 = TBasicConv(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = TBasicConv(96, 96, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch3x3(x),
+            self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+            tF.max_pool2d(x, 3, stride=2),
+        ], 1)
+
+
+class TInceptionC(tnn.Module):
+    def __init__(self, cin, c7):
+        super().__init__()
+        self.branch1x1 = TBasicConv(cin, 192, kernel_size=1)
+        self.branch7x7_1 = TBasicConv(cin, c7, kernel_size=1)
+        self.branch7x7_2 = TBasicConv(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7_3 = TBasicConv(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_1 = TBasicConv(cin, c7, kernel_size=1)
+        self.branch7x7dbl_2 = TBasicConv(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_3 = TBasicConv(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7dbl_4 = TBasicConv(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_5 = TBasicConv(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch_pool = TBasicConv(cin, 192, kernel_size=1)
+
+    def forward(self, x):
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+            self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+        return torch.cat([
+            self.branch1x1(x), b7, bd,
+            self.branch_pool(tF.avg_pool2d(x, 3, stride=1, padding=1)),
+        ], 1)
+
+
+class TInceptionD(tnn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3_1 = TBasicConv(cin, 192, kernel_size=1)
+        self.branch3x3_2 = TBasicConv(192, 320, kernel_size=3, stride=2)
+        self.branch7x7x3_1 = TBasicConv(cin, 192, kernel_size=1)
+        self.branch7x7x3_2 = TBasicConv(192, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7x3_3 = TBasicConv(192, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7x3_4 = TBasicConv(192, 192, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch3x3_2(self.branch3x3_1(x)),
+            self.branch7x7x3_4(self.branch7x7x3_3(self.branch7x7x3_2(
+                self.branch7x7x3_1(x)))),
+            tF.max_pool2d(x, 3, stride=2),
+        ], 1)
+
+
+class TInceptionE(tnn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch1x1 = TBasicConv(cin, 320, kernel_size=1)
+        self.branch3x3_1 = TBasicConv(cin, 384, kernel_size=1)
+        self.branch3x3_2a = TBasicConv(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3_2b = TBasicConv(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch3x3dbl_1 = TBasicConv(cin, 448, kernel_size=1)
+        self.branch3x3dbl_2 = TBasicConv(448, 384, kernel_size=3, padding=1)
+        self.branch3x3dbl_3a = TBasicConv(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3dbl_3b = TBasicConv(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch_pool = TBasicConv(cin, 192, kernel_size=1)
+
+    def forward(self, x):
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+        return torch.cat([
+            self.branch1x1(x), b3, bd,
+            self.branch_pool(tF.avg_pool2d(x, 3, stride=1, padding=1)),
+        ], 1)
+
+
+class TMelception(tnn.Module):
+    """Independent transcription of Melception (1-ch stem, no maxpool1/2)."""
+
+    def __init__(self, num_classes):
+        super().__init__()
+        self.Conv2d_1a_3x3 = TBasicConv(1, 32, kernel_size=3, stride=2)
+        self.Conv2d_2a_3x3 = TBasicConv(32, 32, kernel_size=3)
+        self.Conv2d_2b_3x3 = TBasicConv(32, 64, kernel_size=3, padding=1)
+        self.Conv2d_3b_1x1 = TBasicConv(64, 80, kernel_size=1)
+        self.Conv2d_4a_3x3 = TBasicConv(80, 192, kernel_size=3)
+        self.Mixed_5b = TInceptionA(192, 32)
+        self.Mixed_5c = TInceptionA(256, 64)
+        self.Mixed_5d = TInceptionA(288, 64)
+        self.Mixed_6a = TInceptionB(288)
+        self.Mixed_6b = TInceptionC(768, 128)
+        self.Mixed_6c = TInceptionC(768, 160)
+        self.Mixed_6d = TInceptionC(768, 160)
+        self.Mixed_6e = TInceptionC(768, 192)
+        self.Mixed_7a = TInceptionD(768)
+        self.Mixed_7b = TInceptionE(1280)
+        self.Mixed_7c = TInceptionE(2048)
+        self.fc = tnn.Linear(2048, num_classes)
+
+    def forward(self, x):
+        x = x.unsqueeze(1)
+        for name in ("Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3",
+                     "Conv2d_3b_1x1", "Conv2d_4a_3x3", "Mixed_5b", "Mixed_5c",
+                     "Mixed_5d", "Mixed_6a", "Mixed_6b", "Mixed_6c", "Mixed_6d",
+                     "Mixed_6e", "Mixed_7a", "Mixed_7b", "Mixed_7c"):
+            x = getattr(self, name)(x)
+        pooled = tF.adaptive_avg_pool2d(x, (1, 1)).flatten(1)
+        return pooled, self.fc(pooled)
+
+
+@pytest.mark.slow
+def test_full_melception_cross_framework(rng):
+    from text_to_sound_synthesis_tpu.convert.torch_to_jax import convert_melception
+    from text_to_sound_synthesis_tpu.models.melception import Melception
+
+    torch.manual_seed(0)
+    tm = TMelception(num_classes=9).eval()
+    with torch.no_grad():  # randomize BN stats to exercise the folding
+        for m in tm.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.7, 1.5)
+                m.weight.normal_(1, 0.1)
+                m.bias.normal_(0, 0.1)
+
+    mel = rng.standard_normal((1, 80, 132)).astype(np.float32)
+    with torch.no_grad():
+        want_pool, want_logits = tm(torch.from_numpy(mel))
+
+    ours = Melception(num_classes=9)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(mel))
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_melception(sd, params)
+    out = ours.apply(params, jnp.asarray(mel))
+
+    np.testing.assert_allclose(np.asarray(out["2048"]), want_pool.numpy(),
+                               atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["logits"]), want_logits.numpy(),
+                               atol=5e-3, rtol=1e-3)

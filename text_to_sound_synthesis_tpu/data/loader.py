@@ -72,6 +72,7 @@ class ShardedLoader:
         num_shards: Optional[int] = None,
         shard_index: Optional[int] = None,
         prefetch: int = 2,
+        num_workers: int = 0,
     ):
         import jax
 
@@ -83,6 +84,7 @@ class ShardedLoader:
         self.num_shards = num_shards if num_shards is not None else jax.process_count()
         self.shard_index = shard_index if shard_index is not None else jax.process_index()
         self.prefetch = prefetch
+        self.num_workers = num_workers  # >0: thread pool for item IO
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -110,16 +112,38 @@ class ShardedLoader:
         )
         n_batches = len(self)
 
+        takes_rng = _accepts_rng(self.dataset)
+
+        def fetch(i: int):
+            if takes_rng:
+                return self.dataset.__getitem__(int(i), rng=item_rng)
+            return self.dataset[int(i)]
+
         def produce(q: queue.Queue):
             try:
+                pool = None
+                if self.num_workers > 0:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    pool = ThreadPoolExecutor(self.num_workers)
                 for b in range(n_batches):
                     batch_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]
                     if len(batch_idx) < self.batch_size and self.drop_last:
                         break
-                    items = [self.dataset.__getitem__(int(i), rng=item_rng)
-                             if _accepts_rng(self.dataset) else self.dataset[int(i)]
-                             for i in batch_idx]
+                    if pool is not None:
+                        if takes_rng:
+                            # Generator is not thread-safe: per-item children
+                            rngs = item_rng.spawn(len(batch_idx))
+                            items = list(pool.map(
+                                lambda a: self.dataset.__getitem__(int(a[0]), rng=a[1]),
+                                zip(batch_idx, rngs)))
+                        else:
+                            items = list(pool.map(fetch, batch_idx))
+                    else:
+                        items = [fetch(i) for i in batch_idx]
                     q.put(_collate(items))
+                if pool is not None:
+                    pool.shutdown(wait=False)
                 q.put(None)
             except BaseException as e:  # surface worker errors to the consumer
                 q.put(e)
@@ -151,6 +175,7 @@ def build_dataloader(config: Mapping[str, Any], *, seed: int = 0) -> dict:
     'train_iterations', 'validation_iterations'} (build.py:404-473)."""
     dl_cfg = config["dataloader"]
     batch_size = int(dl_cfg.get("batch_size", 1))
+    num_workers = int(dl_cfg.get("num_workers", 0))
 
     def make(split_key: str, shuffle: bool):
         ds_cfgs = dl_cfg.get(split_key) or []
@@ -158,7 +183,8 @@ def build_dataloader(config: Mapping[str, Any], *, seed: int = 0) -> dict:
             return None
         datasets = [instantiate_from_config(c) for c in ds_cfgs]
         ds = datasets[0] if len(datasets) == 1 else ConcatDataset(datasets)
-        return ShardedLoader(ds, batch_size, shuffle=shuffle, seed=seed)
+        return ShardedLoader(ds, batch_size, shuffle=shuffle, seed=seed,
+                             num_workers=num_workers)
 
     train = make("train_datasets", True)
     val = make("validation_datasets", False)
