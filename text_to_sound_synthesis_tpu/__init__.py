@@ -17,3 +17,7 @@ Reference capability map: see SURVEY.md at the repo root. Reference implementati
 """
 
 __version__ = "0.1.0"
+
+# importing the package registers every config target (models, engine
+# schedulers/clip-grad, datasets) so reference YAMLs resolve immediately
+from . import data, engine, evaluation, models, ops, utils  # noqa: E402,F401

@@ -1,1 +1,1 @@
-from . import diffusion, signal  # noqa: F401
+from . import diffusion, fused_sampler, gan, permuter, sampling, signal  # noqa: F401
