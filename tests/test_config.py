@@ -63,3 +63,43 @@ def test_merge_opts():
     assert out["solver"]["base_lr"] == 3e-5
     assert out["dataloader"]["batch_size"] == 4
     assert cfg["solver"]["base_lr"] == 1e-4  # original untouched
+
+
+def test_all_reference_aliases_registered():
+    """One package import registers every reference config target."""
+    import text_to_sound_synthesis_tpu  # noqa: F401
+    from text_to_sound_synthesis_tpu.utils.config import GLOBAL_REGISTRY
+
+    aliases = [
+        "specvqgan.models.vqgan.VQModel",
+        "specvqgan.models.vqgan.VQModel1d",
+        "specvqgan.models.cond_transformer.Net2NetTransformer",
+        "specvqgan.modules.transformer.permuter.ColumnMajor",
+        "specvqgan.modules.transformer.mingpt.GPTFeats",
+        "specvqgan.modules.transformer.mingpt.GPTClass",
+        "specvqgan.modules.losses.lpaps.LPAPS",
+        "specvqgan.modules.losses.lpaps_audioset.LPLoss",
+        "specvqgan.modules.losses.vggishish.model.VGGishish",
+        "specvqgan.modules.discriminator.model.NLayerDiscriminator",
+        "specvqgan.data.caps.VASSpecs",
+        "sound_synthesis.modeling.models.dalle_spec.DALLE",
+        "sound_synthesis.modeling.transformers.diffusion_transformer.DiffusionTransformer",
+        "sound_synthesis.modeling.transformers.transformer_utils.Text2ImageTransformer",
+        "sound_synthesis.modeling.transformers.transformer_utils.Condition2ImageTransformer",
+        "sound_synthesis.modeling.transformers.transformer_utils.UnCondition2ImageTransformer",
+        "sound_synthesis.modeling.embeddings.clip_text_embedding.CLIPTextEmbedding",
+        "sound_synthesis.modeling.embeddings.dalle_mask_image_embedding.DalleMaskImageEmbedding",
+        "sound_synthesis.modeling.codecs.spec_codec.vqgan.VQModel",
+        "sound_synthesis.modeling.codecs.text_codec.tokenize.Tokenize",
+        "sound_synthesis.modeling.modules.clip.simple_tokenizer.SimpleTokenizer",
+        "sound_synthesis.engine.lr_scheduler.ReduceLROnPlateauWithWarmup",
+        "sound_synthesis.engine.lr_scheduler.CosineAnnealingLRWithWarmup",
+        "sound_synthesis.engine.clip_grad_norm.ClipGradNorm",
+        "sound_synthesis.data.caps_dataset.CapsDataset",
+        "sound_synthesis.data.audioset_dataset.AudiosetDataset",
+        "evaluation.feature_extractors.melception.Melception",
+        "vocoder.modules.Generator",
+        "vocoder.modules.Discriminator",
+    ]
+    for alias in aliases:
+        GLOBAL_REGISTRY.resolve(alias)
