@@ -71,3 +71,10 @@ def test_solver_train_and_resume(tmp_path, rng):
     assert int(jax.device_get(solver2.state.step)) == 4
     # scheduler state restored
     assert solver2.scheduler.last_epoch == solver.scheduler.last_epoch
+
+    # best-checkpoint tracking wrote top-k dirs (validation ran every epoch)
+    import glob
+    best = glob.glob(os.path.join(logger.ckpt_dir, "best_e*"))
+    best = [b for b in best if not b.endswith(".json")]
+    assert best, "no best checkpoints saved"
+    assert len(best) <= solver.save_top_k

@@ -123,6 +123,18 @@ class Solver:
         # in-training sampling (solver_spec.py:191-261): cached caption batch
         self._sample_batch = None
         self.vocoder = None  # optionally attached for audible samples
+        voc_cfg = solver_cfg.get("vocoder_path")  # ImageLogger's vocoder_cfg analogue
+        if voc_cfg:
+            try:
+                from ..models.melgan.interface import load_vocoder
+
+                self.vocoder = load_vocoder(voc_cfg)
+            except Exception as e:
+                logger.log_info(f"vocoder attach failed ({e!r}); samples stay spec-only")
+        # best-checkpoint tracking (PL ModelCheckpoint top-k analogue,
+        # Codebook/train.py:705-721): keep the k best validation losses
+        self.save_top_k = int(solver_cfg.get("save_top_k", 3))
+        self._best: list = []  # [(val_loss, name)] sorted ascending
         # profiling hook (reference has none; SURVEY.md §5 tracing gap)
         self.profile_dir = solver_cfg.get("profile_dir")
         self._profiling = False
@@ -303,7 +315,36 @@ class Solver:
         if val is not None:
             self.logger.log_info(f"validation epoch {epoch}: loss {val:.5f}")
             self.logger.add_scalar("val/loss", val, int(jax.device_get(self.state.step)))
+            self._maybe_save_best(epoch, val)
         return val
+
+    def _maybe_save_best(self, epoch: int, val_loss: float) -> None:
+        """Keep the save_top_k best-by-val-loss checkpoints (PL top-k analogue)."""
+        if not self.logger.is_primary or self.save_top_k <= 0:
+            return
+        import os
+        import shutil
+
+        if len(self._best) >= self.save_top_k and val_loss >= self._best[-1][0]:
+            return
+        it = int(jax.device_get(self.state.step))
+        name = f"best_e{epoch}_{val_loss:.5f}"
+        save_checkpoint(self.logger.ckpt_dir, name,
+                        {"state": self.state, "frozen": self.frozen},
+                        {"last_epoch": epoch, "last_iter": it, "val_loss": val_loss})
+        self._best.append((val_loss, name))
+        self._best.sort()
+        while len(self._best) > self.save_top_k:
+            _, evict = self._best.pop()
+            path = os.path.join(self.logger.ckpt_dir, evict)
+            shutil.rmtree(path, ignore_errors=True)
+            for suffix in (".host.json",):
+                try:
+                    os.remove(path + suffix)
+                except OSError:
+                    pass
+        self.logger.log_info(f"saved best checkpoint {name!r} "
+                             f"(top-{self.save_top_k}: {[n for _, n in self._best]})")
 
     def train(self) -> None:
         # SIGUSR1 -> checkpoint now (the PL stack's "melk" hook, train.py:784-797)
