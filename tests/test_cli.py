@@ -70,3 +70,60 @@ def test_evaluate_cli_smoke(tmp_path, monkeypatch, rng):
          "num_classes=9", "batch=4", "have_kid=false", "have_fid=false"],
     )
     eval_cli.main()  # prints metrics; must not raise
+
+
+@pytest.mark.slow
+def test_train_vqgan_cli_smoke(tmp_path, monkeypatch, rng):
+    import yaml
+
+    # tiny specs layout: <root>/feats/<cls>/<vid>_mel.npy + split txts
+    feats = tmp_path / "feats" / "cls0"
+    feats.mkdir(parents=True)
+    for i in range(8):
+        np.save(feats / f"v{i}_mel.npy", rng.random((16, 36)).astype(np.float32))
+    split_base = tmp_path / "split"
+    with open(f"{split_base}_train.txt", "w") as f:
+        f.write("\n".join(f"cls0/v{i}" for i in range(6)) + "\n")
+    with open(f"{split_base}_valid.txt", "w") as f:
+        f.write("\n".join(f"cls0/v{i}" for i in range(6, 8)) + "\n")
+
+    cfg = {
+        "model": {"base_learning_rate": 1e-4, "params": {
+            "embed_dim": 16, "n_embed": 8,
+            "ddconfig": dict(double_z=False, z_channels=16, resolution=32,
+                             in_channels=1, out_ch=1, ch=16, ch_mult=[1, 2],
+                             num_res_blocks=1, attn_resolutions=[16], dropout=0.0),
+            "lossconfig": {"params": {"disc_start": 100, "disc_in_channels": 1,
+                                      "disc_num_layers": 2, "disc_ndf": 8,
+                                      "perceptual_weight": 0.0}},
+        }},
+        "dataloader": {"batch_size": 2, "train_datasets": [{
+            "target": "text_to_sound_synthesis_tpu.data.SpecsDataset",
+            "params": {"split": "train", "spec_dir_path": str(tmp_path / "feats" / "*"),
+                       "split_path": f"{split_base}_train.txt",
+                       "mel_num": 16, "spec_crop_len": 32}}],
+            "validation_datasets": [{
+            "target": "text_to_sound_synthesis_tpu.data.SpecsDataset",
+            "params": {"split": "valid", "spec_dir_path": str(tmp_path / "feats" / "*"),
+                       "split_path": f"{split_base}_valid.txt",
+                       "mel_num": 16, "spec_crop_len": 32}}],
+        },
+    }
+    cfg_path = tmp_path / "vq.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    import train_vqgan as cli
+
+    out = tmp_path / "out"
+    monkeypatch.setattr(sys, "argv",
+                        ["train_vqgan.py", "-b", str(cfg_path), "--output", str(out),
+                         "--max_steps", "2"])
+    cli.main()
+    assert (out / "vqgan" / "checkpoint" / "last").is_dir()
+
+    # resume continues from the checkpoint
+    monkeypatch.setattr(sys, "argv",
+                        ["train_vqgan.py", "-b", str(cfg_path), "--output", str(out),
+                         "--max_steps", "4", "--auto_resume"])
+    cli.main()

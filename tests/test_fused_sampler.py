@@ -115,3 +115,24 @@ def test_sample_tokens_fused_jnp_fallback(rng):
     fast = sample_tokens_fused(model, params, jax.random.PRNGKey(1), cond,
                                truncation_r=0.85, skip_step=2, use_kernel=False)
     assert fast.shape == (2, 12)
+
+
+def test_sampler_deterministic_given_key(rng):
+    """Same key + params -> bit-identical samples (reproducibility guarantee
+    the reference never had: its sampler consumes global torch RNG state)."""
+    from tests.test_diffusion_model import SMALL
+    from text_to_sound_synthesis_tpu.models.diffusion import DiscreteDiffusion
+    from text_to_sound_synthesis_tpu.models.diffusion.process import sample_tokens_fused
+
+    model = DiscreteDiffusion(transformer_config={"params": SMALL}, diffusion_step=8)
+    cond = jnp.asarray(rng.standard_normal((2, 5, 16)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 12), jnp.int32),
+                        cond, jnp.zeros((2,), jnp.int32))
+    a = sample_tokens_fused(model, params, jax.random.PRNGKey(7), cond,
+                            truncation_r=0.85, use_kernel=False)
+    b = sample_tokens_fused(model, params, jax.random.PRNGKey(7), cond,
+                            truncation_r=0.85, use_kernel=False)
+    c = sample_tokens_fused(model, params, jax.random.PRNGKey(8), cond,
+                            truncation_r=0.85, use_kernel=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.diffsound import Diffsound
-from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel.mesh import make_data_mesh_for_batch, shard_batch
 from ..utils.config import instantiate_from_config
 from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
 from .logger import Logger
@@ -53,7 +53,10 @@ class Solver:
         self.model = model
         self.dataloader = dataloader
         self.logger = logger
-        self.mesh = mesh or make_mesh()
+        if mesh is None:
+            bs0 = int(self.config.get("dataloader", {}).get("batch_size", 1))
+            mesh = make_data_mesh_for_batch(bs0)
+        self.mesh = mesh
         self.max_epochs = int(solver_cfg["max_epochs"])
         self.save_epochs = int(solver_cfg.get("save_epochs", 30))
         self.validation_epochs = int(solver_cfg.get("validation_epochs", 400))

@@ -47,6 +47,16 @@ def make_mesh(
     return Mesh(arr, axis_names=("data", "model"))
 
 
+def make_data_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
+    """Data-parallel mesh using the largest device count that divides the
+    global batch (debug batches may be smaller than the device count)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(devices[:n])
+
+
 def batch_sharding(mesh: Mesh, *, ndim: int = 0) -> NamedSharding:
     """Shard axis 0 (batch) across 'data'; replicate the rest."""
     spec = P("data", *([None] * max(0, ndim - 1))) if ndim else P("data")

@@ -40,7 +40,7 @@ def main():
     from text_to_sound_synthesis_tpu.engine.logger import Logger
     from text_to_sound_synthesis_tpu.engine.optimizers import decay_mask
     from text_to_sound_synthesis_tpu.models.gpt import Net2NetTransformer
-    from text_to_sound_synthesis_tpu.parallel.mesh import make_mesh, shard_batch
+    from text_to_sound_synthesis_tpu.parallel.mesh import make_data_mesh_for_batch, shard_batch
     from text_to_sound_synthesis_tpu.utils.config import (
         instantiate_from_config,
         load_yaml_config,
@@ -68,7 +68,7 @@ def main():
     lr = jax.device_count() * bs * base_lr
     tx = optax.adamw(lr, b1=0.9, b2=0.95, weight_decay=0.01, mask=decay_mask)
     opt_state = tx.init(params["gpt"]["params"])
-    mesh = make_mesh()
+    mesh = make_data_mesh_for_batch(bs)
 
     @jax.jit
     def step(gpt_params, opt_state, codec_params, mel, cond):

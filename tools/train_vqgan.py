@@ -30,6 +30,8 @@ def get_args():
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--lpaps", default=None,
                    help="released lin_vgg.pth + vggishish ckpt dir for the perceptual loss")
+    p.add_argument("--auto_resume", action="store_true")
+    p.add_argument("--val_every_epochs", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("opts", nargs=argparse.REMAINDER)
     return p.parse_args()
@@ -52,7 +54,7 @@ def main():
     from text_to_sound_synthesis_tpu.models.discriminator import NLayerDiscriminator
     from text_to_sound_synthesis_tpu.models.lpaps import LPAPS
     from text_to_sound_synthesis_tpu.models.vqgan import VQModel
-    from text_to_sound_synthesis_tpu.parallel.mesh import make_mesh, shard_batch
+    from text_to_sound_synthesis_tpu.parallel.mesh import make_data_mesh_for_batch, shard_batch
     from text_to_sound_synthesis_tpu.utils.config import (
         load_yaml_config,
         merge_opts_to_config,
@@ -104,17 +106,57 @@ def main():
     step = make_vqgan_train_step(codec, lpaps, disc, tx_ae, tx_disc, cfg)
     state = VQGANTrainState.create(ae_params, disc_vars, tx_ae, tx_disc)
 
-    mesh = make_mesh()
+    mesh = make_data_mesh_for_batch(bs)
     dataloader = build_dataloader(config, seed=args.seed)
     train_loader = dataloader["train_loader"]
     max_steps = args.max_steps or 10**9
 
-    done = False
     epoch = 0
+    if args.auto_resume:
+        from text_to_sound_synthesis_tpu.engine.checkpoint import (
+            latest_checkpoint,
+            restore_checkpoint,
+        )
+
+        name = latest_checkpoint(logger.ckpt_dir)
+        if name:
+            payload, host = restore_checkpoint(
+                logger.ckpt_dir, name, {"state": state})
+            state = jax.tree_util.tree_map(jnp.asarray, payload["state"])
+            epoch = int((host or {}).get("epoch", 0))
+            logger.log_info(f"resumed {name!r} at epoch {epoch}, "
+                            f"iter {int(jax.device_get(state.step))}")
+
+    def validate(epoch):
+        vloader = dataloader.get("validation_loader")
+        if vloader is None:
+            return
+        recon_l1, all_idx = [], []
+        fwd = jax.jit(lambda p, x: codec.apply(p, x))
+        for batch in vloader:
+            v = np.asarray(batch["image"], np.float32)
+            if v.ndim == 3:
+                v = v[..., None]
+            elif v.shape[1] == 1:
+                v = np.transpose(v, (0, 2, 3, 1))
+            xrec, vq = fwd(state.ae_params, jnp.asarray(v))
+            recon_l1.append(float(jnp.mean(jnp.abs(jnp.asarray(v) - xrec))))
+            all_idx.append(np.asarray(vq.indices).ravel())
+        if recon_l1:
+            usage = len(np.unique(np.concatenate(all_idx)))
+            logger.log_info(f"val epoch {epoch}: recon_l1 {np.mean(recon_l1):.5f} "
+                            f"codebook usage {usage}/{mp['n_embed']}")
+            it = int(jax.device_get(state.step))
+            logger.add_scalar("val/recon_l1", float(np.mean(recon_l1)), it)
+            logger.add_scalar("val/codebook_usage", usage, it)
+
+    done = False
     while not done:
         for batch in train_loader:
             mel = np.asarray(batch["image"], np.float32)
-            if mel.ndim == 4 and mel.shape[1] == 1:
+            if mel.ndim == 3:
+                mel = mel[..., None]
+            elif mel.shape[1] == 1:
                 mel = np.transpose(mel, (0, 2, 3, 1))
             mel = shard_batch({"x": mel}, mesh)["x"]
             state, metrics = step(state, lpaps_params, mel, lr)
@@ -133,9 +175,10 @@ def main():
                 done = True
                 break
         epoch += 1
-        save_checkpoint(logger.ckpt_dir, "last",
-                        {"ae": state.ae_params, "disc": state.disc_vars},
+        save_checkpoint(logger.ckpt_dir, "last", {"state": state},
                         {"epoch": epoch, "step": int(jax.device_get(state.step))})
+        if epoch % args.val_every_epochs == 0:
+            validate(epoch)
     logger.log_info("training done")
 
 
