@@ -26,6 +26,45 @@ from .transforms import CropSpec, to_model_range
 __all__ = ["CapsDataset", "AudiosetDataset", "ArrayDataset"]
 
 
+def _draw_crop(crop: CropSpec, path: str, rng: np.random.Generator):
+    """Crop offsets for one file, consuming rng exactly like CropSpec.__call__
+    (top then left) so the batched and per-item paths share one stream.
+    -1 means centered (resolved by the loader, native or Python)."""
+    if not crop.random_crop:
+        return -1, -1
+    from ..native import npy_shape
+
+    H, W = npy_shape(path)
+    if H < crop.mel_num or W < crop.crop_len:
+        raise ValueError(f"spec ({H}, {W}) smaller than crop "
+                         f"({crop.mel_num}, {crop.crop_len})")
+    top = int(rng.integers(0, H - crop.mel_num + 1))
+    left = int(rng.integers(0, W - crop.crop_len + 1))
+    return top, left
+
+
+def _load_mels(paths, crop: CropSpec, tops, lefts) -> np.ndarray:
+    """Batched crop+scale load: C++ thread pool when available, else numpy.
+    Both return bit-identical float32 (tests/test_native_loader.py)."""
+    from ..native import load_mel_batch
+
+    try:
+        mels = load_mel_batch(paths, crop.mel_num, crop.crop_len, tops, lefts)
+    except IOError:
+        mels = None  # e.g. fortran-order/odd-dtype file: numpy handles it
+    if mels is not None:
+        return mels
+    out = np.empty((len(paths), crop.mel_num, crop.crop_len), np.float32)
+    for i, p in enumerate(paths):
+        spec = np.load(p)
+        H, W = spec.shape[-2], spec.shape[-1]
+        t = (H - crop.mel_num) // 2 if tops[i] < 0 else tops[i]
+        l = (W - crop.crop_len) // 2 if lefts[i] < 0 else lefts[i]
+        win = spec[t : t + crop.mel_num, l : l + crop.crop_len]
+        out[i] = to_model_range(win).astype(np.float32)
+    return out
+
+
 class _MelCaptionDataset:
     """Shared implementation: name manifest + mel files + caption dict."""
 
@@ -77,6 +116,23 @@ class _MelCaptionDataset:
         caps = self.captions[name]
         caption = caps[int(rng.integers(0, len(caps)))].lower()
         return {"image": image, "text": caption}
+
+    def load_batch(self, indices, rng: Optional[np.random.Generator] = None):
+        """Batched fast path (C++ loader): collated {'image', 'text'} equal to
+        stacking __getitem__ over ``indices`` with the same rng."""
+        rng = rng or np.random.default_rng()
+        paths, tops, lefts, texts = [], [], [], []
+        for index in indices:
+            name = self.names[int(index)]
+            path = os.path.join(self.mel_dir, name + "_mel.npy")
+            top, left = _draw_crop(self.crop, path, rng)
+            paths.append(path)
+            tops.append(top)
+            lefts.append(left)
+            caps = self.captions[name]
+            texts.append(caps[int(rng.integers(0, len(caps)))].lower())
+        mels = _load_mels(paths, self.crop, tops, lefts)
+        return {"image": mels[:, None, :, :], "text": texts}
 
 
 @register(
@@ -193,6 +249,36 @@ class SpecsDataset:
             feats = np.loadtxt(fpath, dtype=np.float32).reshape(-1)[: self.feat_dim]
             item["feature"] = feats.reshape(self.feat_dim, 1)  # (D, T=1) channel-major
         return item
+
+    def load_batch(self, indices, rng: Optional[np.random.Generator] = None):
+        """Batched fast path (C++ loader): collated dict equal to stacking
+        __getitem__ over ``indices`` with the same rng."""
+        rng = rng or np.random.default_rng()
+        paths, tops, lefts, labels, feats = [], [], [], [], []
+        for index in indices:
+            cls, vid = self.rows[int(index)].split("/")
+            path = os.path.join(self.spec_dir_path.replace("*", cls),
+                                vid + self.feat_suffix)
+            top, left = _draw_crop(self.crop, path, rng)
+            paths.append(path)
+            tops.append(top)
+            lefts.append(left)
+            labels.append(cls)
+            if self.cls_token_dir_path:
+                fpath = os.path.join(self.cls_token_dir_path.replace("*", cls),
+                                     vid + ".txt")
+                f = np.loadtxt(fpath, dtype=np.float32).reshape(-1)[: self.feat_dim]
+                feats.append(f.reshape(self.feat_dim, 1))
+        mels = _load_mels(paths, self.crop, tops, lefts)
+        batch = {
+            "image": mels,
+            "label": labels,
+            "target": np.asarray([self.label2target[c] for c in labels]),
+            "file_path_": paths,
+        }
+        if self.cls_token_dir_path:
+            batch["feature"] = np.stack(feats)
+        return batch
 
 
 class ArrayDataset:

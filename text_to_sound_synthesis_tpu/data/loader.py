@@ -119,10 +119,21 @@ class ShardedLoader:
                 return self.dataset.__getitem__(int(i), rng=item_rng)
             return self.dataset[int(i)]
 
+        # batched fast path: dataset-level load_batch backed by the C++ npy
+        # loader (native/npy_batch.cc) — one call per batch, internal thread
+        # pool, no GIL. Draws from item_rng in the same per-item order as
+        # __getitem__, so switching paths never changes the data stream.
+        load_batch = None  # T2S_NATIVE_LOADER=0 falls back to the paths below
+        if hasattr(self.dataset, "load_batch"):
+            from ..native import native_available
+
+            if native_available():
+                load_batch = self.dataset.load_batch
+
         def produce(q: queue.Queue):
             try:
                 pool = None
-                if self.num_workers > 0:
+                if load_batch is None and self.num_workers > 0:
                     from concurrent.futures import ThreadPoolExecutor
 
                     pool = ThreadPoolExecutor(self.num_workers)
@@ -130,6 +141,9 @@ class ShardedLoader:
                     batch_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]
                     if len(batch_idx) < self.batch_size and self.drop_last:
                         break
+                    if load_batch is not None:
+                        q.put(load_batch(batch_idx, rng=item_rng))
+                        continue
                     if pool is not None:
                         if takes_rng:
                             # Generator is not thread-safe: per-item children
