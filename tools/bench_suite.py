@@ -130,6 +130,28 @@ def main():
     dt, _ = timed(fast, dparams, jax.random.PRNGKey(0), cond32)
     report("diffsound_fast25step_batch32", 32.0 / dt, "clips/sec")
 
+    # 6. input pipeline: native C++ batched loader vs pure-numpy (host-side)
+    import os as _os
+    import tempfile
+
+    from text_to_sound_synthesis_tpu.native import load_mel_batch, native_available
+
+    if native_available():
+        d = tempfile.mkdtemp()
+        rng_np = np.random.default_rng(0)
+        paths = []
+        for i in range(128):
+            q = _os.path.join(d, f"m{i}.npy")
+            np.save(q, rng_np.random((80, 860)).astype(np.float32))
+            paths.append(q)
+        tops = [0] * 128
+        lefts = list(map(int, rng_np.integers(0, 13, 128)))
+        load_mel_batch(paths, 80, 848, tops, lefts)  # warm page cache
+        t0 = time.time()
+        for _ in range(5):
+            load_mel_batch(paths, 80, 848, tops, lefts)
+        report("native_loader_80x848_mels", 128 * 5 / (time.time() - t0), "mels/sec")
+
 
 if __name__ == "__main__":
     main()
