@@ -93,8 +93,8 @@ def npy_shape(path: str) -> Tuple[int, int]:
     H = ctypes.c_longlong()
     W = ctypes.c_longlong()
     err = ctypes.create_string_buffer(512)
-    rc = _lib.t2s_npy_shape(path.encode(), ctypes.byref(H), ctypes.byref(W),
-                            err, len(err))
+    rc = _lib.t2s_npy_shape(os.fspath(path).encode(), ctypes.byref(H),
+                            ctypes.byref(W), err, len(err))
     if rc:
         raise IOError(err.value.decode(errors="replace"))
     return H.value, W.value
@@ -120,7 +120,7 @@ def load_mel_batch(
     out = np.empty((n, mel_num, crop_len), dtype=np.float32)
     if n == 0:
         return out
-    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    c_paths = (ctypes.c_char_p * n)(*[os.fspath(p).encode() for p in paths])
     t = np.asarray(tops if tops is not None else [-1] * n, dtype=np.int64)
     l = np.asarray(lefts if lefts is not None else [-1] * n, dtype=np.int64)
     err = ctypes.create_string_buffer(512)
