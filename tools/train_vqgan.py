@@ -127,12 +127,13 @@ def main():
             logger.log_info(f"resumed {name!r} at epoch {epoch}, "
                             f"iter {int(jax.device_get(state.step))}")
 
+    fwd = jax.jit(lambda p, x: codec.apply(p, x))  # shared across val epochs
+
     def validate(epoch):
         vloader = dataloader.get("validation_loader")
         if vloader is None:
             return
         recon_l1, all_idx = [], []
-        fwd = jax.jit(lambda p, x: codec.apply(p, x))
         for batch in vloader:
             v = np.asarray(batch["image"], np.float32)
             if v.ndim == 3:
