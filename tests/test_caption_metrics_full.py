@@ -1,0 +1,97 @@
+"""Full METEOR (exact+stem stages) tests + METEOR-lite delta quantification.
+
+Reference metric stack: ``Codebook/AudiocaptionLoss/eval_metrics.py:243-249``
+(coco-caption Java METEOR). The Java jar and WordNet data are absent from the
+build image, so the synonym stage is exercised only when a WordNet corpus is
+installed; these tests cover the exact+stem path and pin down the lite-vs-full
+delta that PARITY.md documents.
+"""
+
+import numpy as np
+import pytest
+
+from text_to_sound_synthesis_tpu.evaluation.caption_metrics import (
+    caption_scores,
+    meteor,
+    meteor_lite,
+    tokenize_caption,
+)
+
+# 40-pair audio-caption-style probe set: candidate vs 2 references each, with
+# the morphology variation typical of AudioCaps captions.
+_PROBE = [
+    ("a dog barks loudly", ["the dogs are barking loud", "a dog barking"]),
+    ("rain falls on a roof", ["rain falling on the roof", "raining on a rooftop"]),
+    ("a man speaks", ["a man is speaking", "man speech"]),
+    ("birds chirp in trees", ["birds chirping in the trees", "a bird chirps"]),
+    ("an engine revs", ["the engine revving", "an engine is revved"]),
+    ("waves crash on shore", ["waves crashing on the shore", "a wave crashes"]),
+    ("a woman laughs", ["a woman laughing", "women laugh"]),
+    ("thunder rumbles", ["thunder rumbling in the distance", "a rumble of thunder"]),
+    ("a door slams shut", ["the door slamming", "doors slam"]),
+    ("water drips slowly", ["water dripping", "a drip of water"]),
+] * 4
+
+
+def test_meteor_identical_is_near_one():
+    cand = [tokenize_caption("a dog barks in the yard")]
+    refs = [[tokenize_caption("a dog barks in the yard")]]
+    s = meteor(cand, refs)
+    # P=R=1, one chunk: penalty = 0.5 * (1/6)^3
+    assert s == pytest.approx(1.0 - 0.5 * (1 / 6) ** 3, abs=1e-6)
+
+
+def test_meteor_stem_stage_catches_morphology():
+    cand = [tokenize_caption("a dog barks")]
+    refs = [[tokenize_caption("the dogs barking")]]
+    full = meteor(cand, refs)
+    lite = meteor_lite(cand, refs)
+    assert full > lite  # dogs/dog + barking/barks only match via stemming
+    assert full > 0.3
+
+
+def test_meteor_vs_nltk_exact_stem_path():
+    """Cross-check against nltk's METEOR with the synonym stage disabled
+    (empty wordnet) — same parameters, independent implementation. Alignment
+    tie-breaking differs (we prefer contiguity; nltk takes the first free
+    match), so allow a small tolerance."""
+    nltk_meteor = pytest.importorskip("nltk.translate.meteor_score")
+
+    class _NoWordnet:
+        @staticmethod
+        def synsets(word):
+            return []
+
+    diffs = []
+    for cand_text, refs_text in _PROBE[:10]:
+        cand = tokenize_caption(cand_text)
+        refs = [tokenize_caption(r) for r in refs_text]
+        ours = meteor([cand], [[refs[0]]])
+        theirs = nltk_meteor.meteor_score([refs[0]], cand, wordnet=_NoWordnet())
+        diffs.append(abs(ours - theirs))
+    assert float(np.mean(diffs)) < 0.02
+    assert max(diffs) < 0.08
+
+
+def test_meteor_lite_delta_quantified():
+    """PARITY.md documents METEOR-lite as systematically lower; pin the probe-
+    set delta so the docs stay honest."""
+    cands = [tokenize_caption(c) for c, _ in _PROBE]
+    refs = [[tokenize_caption(r) for r in rs] for _, rs in _PROBE]
+    full = meteor(cands, refs)
+    lite = meteor_lite(cands, refs)
+    assert full > lite
+    delta = full - lite
+    # this probe set is maximally morphology-different, so the gap is large
+    # (~0.39); real caption sets sit between 0 (exact-match outputs) and this.
+    assert 0.25 < delta < 0.55
+
+
+def test_caption_scores_reports_both_meteors_and_honest_spider():
+    out = caption_scores(["a dog barks"], [["the dogs barking loudly"]])
+    assert "meteor" in out and "meteor_lite" in out
+    assert out["meteor"] >= out["meteor_lite"]
+    assert "spider_cider_only" in out and "spider" not in out
+    out2 = caption_scores(["a dog barks"], [["the dogs barking loudly"]],
+                          spice_scores=[0.4])
+    assert out2["spider"] == pytest.approx(0.5 * (out2["cider"] + 0.4))

@@ -305,3 +305,88 @@ def test_vggishish_conversion_parity(rng):
     np.testing.assert_allclose(
         np.asarray(feats_j[-1]).transpose(0, 3, 1, 2), feats_t, atol=1e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# PatchGAN discriminator variants (discriminator/model.py:98,149,205)
+# ---------------------------------------------------------------------------
+
+def _disc_parity(ref_model, ours, x_torch, x_jax, atol=2e-5):
+    ref_model.eval()
+    with torch.no_grad():
+        want = ref_model(x_torch).numpy()
+    from text_to_sound_synthesis_tpu.convert.torch_to_jax import convert_discriminator
+
+    variables = ours.init(jax.random.PRNGKey(0), x_jax, train=False)
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    variables = convert_discriminator(sd, variables)
+    got = np.asarray(ours.apply(variables, x_jax, train=False))
+    assert got.shape[:1] == want.shape[:1]
+    np.testing.assert_allclose(got.squeeze(), want.squeeze(), atol=atol)
+
+
+def _randomize_bn(model, gen):
+    """Give BatchNorms non-trivial affine + running stats so parity exercises
+    the normalization, not just the convs."""
+    for m in model.modules():
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            with torch.no_grad():
+                m.weight.copy_(torch.rand(m.weight.shape, generator=gen) + 0.5)
+                m.bias.copy_(torch.randn(m.bias.shape, generator=gen) * 0.1)
+                m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=gen) * 0.2)
+                m.running_var.copy_(torch.rand(m.running_var.shape, generator=gen) + 0.5)
+
+
+def test_discriminator_2d_conversion_parity(rng):
+    _add_ref_paths()
+    from specvqgan.modules.discriminator.model import NLayerDiscriminator as TDisc
+
+    from text_to_sound_synthesis_tpu.models.discriminator import NLayerDiscriminator
+
+    torch.manual_seed(0)
+    gen = torch.Generator().manual_seed(0)
+    ref = TDisc(input_nc=1, ndf=16, n_layers=3)
+    _randomize_bn(ref, gen)
+    x = rng.standard_normal((2, 1, 40, 64)).astype(np.float32)
+    _disc_parity(ref, NLayerDiscriminator(input_nc=1, ndf=16, n_layers=3),
+                 torch.from_numpy(x), jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+
+
+def test_discriminator_1d_feats_conversion_parity(rng):
+    _add_ref_paths()
+    from specvqgan.modules.discriminator.model import (
+        NLayerDiscriminator1dFeats as TDisc,
+    )
+
+    from text_to_sound_synthesis_tpu.models.discriminator import (
+        NLayerDiscriminator1dFeats,
+    )
+
+    torch.manual_seed(1)
+    gen = torch.Generator().manual_seed(1)
+    ref = TDisc(input_nc=64, ndf=16, n_layers=3)
+    _randomize_bn(ref, gen)
+    x = rng.standard_normal((2, 64, 53)).astype(np.float32)  # (B, C=feat, L)
+    _disc_parity(ref, NLayerDiscriminator1dFeats(input_nc=64, ndf=16, n_layers=3),
+                 torch.from_numpy(x), jnp.asarray(np.transpose(x, (0, 2, 1))))
+
+
+def test_discriminator_1d_specs_conversion_parity(rng):
+    _add_ref_paths()
+    from specvqgan.modules.discriminator.model import (
+        NLayerDiscriminator1dSpecs as TDisc,
+    )
+
+    from text_to_sound_synthesis_tpu.models.discriminator import (
+        NLayerDiscriminator1dSpecs,
+    )
+
+    torch.manual_seed(2)
+    gen = torch.Generator().manual_seed(2)
+    ref = TDisc(input_nc=80, ndf=16, n_layers=3)
+    _randomize_bn(ref, gen)
+    # reference forward takes (B, 1, C=80, L) and squeezes the 1-dim
+    x = rng.standard_normal((2, 1, 80, 96)).astype(np.float32)
+    _disc_parity(ref, NLayerDiscriminator1dSpecs(input_nc=80, ndf=16, n_layers=3),
+                 torch.from_numpy(x),
+                 jnp.asarray(np.transpose(x[:, 0], (0, 2, 1))))

@@ -122,3 +122,92 @@ def test_net2net_loss_and_sample(rng):
 
     out = model.sample(params, jax.random.PRNGKey(1), cond, hw=(2, 8), top_k=3)
     assert out.shape == (2, 4, 16, 1)
+
+
+# -- conditioned-variant completeness (mingpt.py:263-349) ---------------------
+
+def test_rnn_embedder_lstm_torch_parity(rng):
+    """RNNEmbedder(kind=lstm) + convert_rnn_embedder == torch.nn.LSTM."""
+    import torch
+
+    from text_to_sound_synthesis_tpu.convert.torch_to_jax import convert_rnn_embedder
+    from text_to_sound_synthesis_tpu.models.gpt import RNNEmbedder
+
+    torch.manual_seed(0)
+    ref = torch.nn.LSTM(input_size=8, hidden_size=16, num_layers=2, batch_first=True)
+    x = rng.standard_normal((3, 6, 8)).astype(np.float32)
+    with torch.no_grad():
+        want, _ = ref(torch.from_numpy(x))
+
+    model = RNNEmbedder(hidden_size=16, num_layers=2, kind="lstm")
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 8)))
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_rnn_embedder(sd, params, kind="lstm")
+    got = model.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-5)
+
+
+def test_rnn_embedder_gru_torch_parity(rng):
+    import torch
+
+    from text_to_sound_synthesis_tpu.convert.torch_to_jax import convert_rnn_embedder
+    from text_to_sound_synthesis_tpu.models.gpt import RNNEmbedder
+
+    torch.manual_seed(1)
+    ref = torch.nn.GRU(input_size=5, hidden_size=12, num_layers=1, batch_first=True)
+    x = rng.standard_normal((2, 7, 5)).astype(np.float32)
+    with torch.no_grad():
+        want, _ = ref(torch.from_numpy(x))
+
+    model = RNNEmbedder(hidden_size=12, num_layers=1, kind="gru")
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 5)))
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_rnn_embedder(sd, params, kind="gru")
+    got = model.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-5)
+
+
+def test_gptfeats_lstm_embedder_forward_and_sample(rng):
+    model = GPTFeats(
+        feat_embedding_config={"target": "torch.nn.LSTM",
+                               "params": {"input_size": 8, "hidden_size": 16,
+                                          "num_layers": 1}},
+        GPT_config=GCFG,
+    )
+    feats = jnp.asarray(rng.standard_normal((2, 8, 3)), jnp.float32)
+    idx = jnp.zeros((2, 4), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), idx, feats)
+    logits = model.apply(params, idx, feats)
+    assert logits.shape == (2, 3 + 4, 12)
+    tokens = ar_sample(model, params, jax.random.PRNGKey(1), feats, steps=6, top_k=4)
+    assert tokens.shape == (2, 6)
+
+
+def test_gptfeatsclass_forward_and_sample(rng):
+    """GPTFeatsClass: prefix = concat(feat emb, class emb) (mingpt.py:306-349)."""
+    from text_to_sound_synthesis_tpu.models.gpt import GPTFeatsClass
+
+    model = GPTFeatsClass(
+        feat_embedding_config={"target": "torch.nn.Conv1d",
+                               "params": {"in_channels": 8, "out_channels": 16,
+                                          "kernel_size": 1}},
+        token_embedding_config={"params": {"num_embeddings": 5, "features": 16}},
+        GPT_config=GCFG,
+    )
+    cond = {"feature": jnp.asarray(rng.standard_normal((2, 8, 3)), jnp.float32),
+            "target": jnp.asarray([[1], [4]], jnp.int32)}
+    idx = jnp.zeros((2, 4), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), idx, cond)
+    logits = model.apply(params, idx, cond)
+    # prefix length = T_feat + 1 class token
+    assert logits.shape == (2, 3 + 1 + 4, 12)
+
+    emb = model.apply(params, cond, method=model.embed_feats)
+    assert emb.shape == (2, 4, 16)
+    # tuple form (jit-friendly) matches the dict form
+    emb2 = model.apply(params, (cond["feature"], cond["target"]),
+                       method=model.embed_feats)
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(emb2))
+
+    tokens = ar_sample(model, params, jax.random.PRNGKey(1), cond, steps=5, top_k=4)
+    assert tokens.shape == (2, 5)

@@ -112,3 +112,57 @@ def test_feature_matching_l1():
     # only the non-final maps count
     out = float(feature_matching_l1(real, fake))
     assert out == pytest.approx(1.0)
+
+
+# -- AE-only variants (VQNoDiscModel / VQSegmentationModel, vqgan.py:232-331) --
+
+def test_nodisc_train_step_improves_recon(rng):
+    import optax
+
+    from text_to_sound_synthesis_tpu.engine.vqgan_solver import (
+        make_vqgan_nodisc_train_step,
+    )
+    from text_to_sound_synthesis_tpu.models.vqgan import VQNoDiscModel
+
+    codec = VQNoDiscModel(ddconfig=SMALL_DD, n_embed=8, embed_dim=16)
+    mel = jnp.asarray(rng.standard_normal((2, 8, 32, 1)).astype(np.float32))
+    ae_params = codec.init(jax.random.PRNGKey(0), mel)
+    tx = build_gan_optimizer(1e-3)
+    state = VQGANTrainState.create(ae_params, {"params": {}}, tx, optax.identity())
+    step = make_vqgan_nodisc_train_step(codec, None, tx, VQGANLossConfig(),
+                                        donate=False)
+    state, m0 = step(state, None, mel, 1e-3)
+    for _ in range(6):
+        state, m = step(state, None, mel, 1e-3)
+    assert float(m["nll_loss"]) < float(m0["nll_loss"])
+    assert np.isfinite(float(m["total_loss"]))
+
+
+def test_segmentation_model_and_train_step(rng):
+    import optax
+
+    from text_to_sound_synthesis_tpu.engine.vqgan_solver import (
+        make_vqgan_segmentation_train_step,
+    )
+    from text_to_sound_synthesis_tpu.models.vqgan import VQSegmentationModel
+
+    n_labels = 4
+    dd = dict(SMALL_DD, in_channels=n_labels, out_ch=n_labels)
+    codec = VQSegmentationModel(ddconfig=dd, n_embed=8, embed_dim=16,
+                                n_labels=n_labels)
+    labels = rng.integers(0, n_labels, (2, 8, 32))
+    onehot = jnp.asarray(np.eye(n_labels, dtype=np.float32)[labels])
+    ae_params = codec.init(jax.random.PRNGKey(0), onehot)
+    tx = build_gan_optimizer(1e-3)
+    state = VQGANTrainState.create(ae_params, {"params": {}}, tx, optax.identity())
+    step = make_vqgan_segmentation_train_step(codec, tx, donate=False)
+    state, m0 = step(state, None, onehot, 1e-3)
+    for _ in range(6):
+        state, m = step(state, None, onehot, 1e-3)
+    assert float(m["nll_loss"]) < float(m0["nll_loss"])
+
+    logits, _ = codec.apply(state.ae_params, onehot)
+    rgb = codec.apply(state.ae_params, logits, jax.random.PRNGKey(1),
+                      method=codec.segmentation_to_rgb)
+    assert rgb.shape == (2, 8, 32, 3)
+    assert float(jnp.max(rgb)) <= 1.0 and float(jnp.min(rgb)) >= -1.0

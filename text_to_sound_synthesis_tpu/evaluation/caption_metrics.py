@@ -9,13 +9,25 @@ definitions:
 * ROUGE-L: LCS-based F-beta (beta = 1.2), max over references;
 * CIDEr-D: tf-idf weighted cosine over 1..4-grams, length-gaussian penalty
   (sigma = 6), average over references, x10;
-* METEOR-lite: exact-match unigram alignment harmonic mean with the standard
-  fragmentation penalty — NO WordNet synonym/stem matching (that requires the
-  coco-caption Java stack), so values are systematically lower than official
-  METEOR; reported as ``meteor_lite``.
+* METEOR: stage-wise unigram alignment — exact, then Porter-stem, then
+  WordNet-synonym (the synonym stage engages automatically when a WordNet
+  corpus is installed for nltk; the zero-egress build image ships nltk but no
+  WordNet data, in which case METEOR runs exact+stem only — the dominant
+  stages). Alignment is greedy with a contiguity preference (the Java jar
+  beam-searches the minimum-chunk alignment among maximal matchings; deltas
+  from that are small, quantified in tests/test_caption_metrics_full.py).
+  Corpus score = mean of segment scores (the jar aggregates match statistics
+  before scoring; also a small delta). Parameters are coco-caption's
+  (alpha=0.9, beta=3, gamma=0.5).
+* METEOR-lite: the round-1 exact-match-only variant, kept for continuity and
+  reported as ``meteor_lite``. On a morphology-heavy 40-pair audio-caption
+  probe set it reads ~0.39 (absolute) below the stemmed METEOR
+  (tests/test_caption_metrics_full.py); on real caption sets the gap lands
+  between 0 (exact-match outputs) and that bound. Prefer ``meteor``.
 * SPICE requires the Java scene-graph parser and is not reimplemented; SPIDEr
   here is (CIDEr + SPICE)/2 when SPICE scores are supplied externally, else
-  reported as ``spider_cider_only`` = CIDEr-based fallback.
+  reported as ``spider_cider_only`` = CIDEr-based fallback (documented,
+  NOT the paper's SPIDEr).
 """
 
 from __future__ import annotations
@@ -26,8 +38,8 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-__all__ = ["tokenize_caption", "bleu", "rouge_l", "cider_d", "meteor_lite",
-           "caption_scores"]
+__all__ = ["tokenize_caption", "bleu", "rouge_l", "cider_d", "meteor",
+           "meteor_lite", "caption_scores"]
 
 
 def tokenize_caption(text: str) -> List[str]:
@@ -190,6 +202,113 @@ def meteor_lite(candidates, references, alpha: float = 0.9, beta_: float = 3.0,
     return float(np.mean(scores)) if scores else 0.0
 
 
+# ---------------------------------------------------------------------------
+# METEOR (exact + stem + optional WordNet synonyms)
+# ---------------------------------------------------------------------------
+
+def _porter():
+    try:
+        from nltk.stem import PorterStemmer
+
+        return PorterStemmer().stem
+    except Exception:  # minimal fallback: crude suffix stripping
+        def lite(w: str) -> str:
+            for s in ("ing", "ed", "es", "s"):
+                if w.endswith(s) and len(w) > len(s) + 2:
+                    return w[: -len(s)]
+            return w
+
+        return lite
+
+
+def _wordnet_synsets():
+    """Returns a word -> frozenset(lemma names) lookup when a WordNet corpus is
+    installed for nltk, else None (the build image has none; users can drop one
+    into an ``nltk_data`` directory to enable the synonym stage)."""
+    try:
+        from nltk.corpus import wordnet
+
+        wordnet.synsets("dog")  # force the lazy corpus load / raise
+
+        def lookup(word: str) -> frozenset:
+            names = set()
+            for syn in wordnet.synsets(word):
+                for lemma in syn.lemma_names():
+                    names.add(lemma.lower())
+            return frozenset(names)
+
+        return lookup
+    except Exception:
+        return None
+
+
+def _align(cand: Sequence[str], ref: Sequence[str], stages) -> List[tuple]:
+    """Stage-wise unigram alignment: each stage is ``match(ci, rj) -> bool``.
+    Greedy with a contiguity preference: a candidate token first tries the ref
+    slot right after the previous match (minimizing chunks), then the first
+    free match. Returns [(cand_idx, ref_idx)] sorted by cand_idx."""
+    pairs: Dict[int, int] = {}
+    used = [False] * len(ref)
+    for match in stages:
+        prev_j = -2
+        for i, ct in enumerate(cand):
+            if i in pairs:
+                prev_j = pairs[i]
+                continue
+            jn = prev_j + 1
+            if 0 <= jn < len(ref) and not used[jn] and match(ct, ref[jn]):
+                j_hit = jn
+            else:
+                j_hit = next((j for j, rt in enumerate(ref)
+                              if not used[j] and match(ct, rt)), None)
+            if j_hit is not None:
+                pairs[i] = j_hit
+                used[j_hit] = True
+                prev_j = j_hit
+    return sorted(pairs.items())
+
+
+def _chunks(pairs: List[tuple]) -> int:
+    ch = 0
+    prev = (-2, -2)
+    for i, j in pairs:
+        if i != prev[0] + 1 or j != prev[1] + 1:
+            ch += 1
+        prev = (i, j)
+    return ch
+
+
+def meteor(candidates, references, alpha: float = 0.9, beta_: float = 3.0,
+           gamma: float = 0.5) -> float:
+    """METEOR with exact -> Porter-stem -> WordNet-synonym stages (synonyms
+    only when a WordNet corpus is available; see module docstring). Segment
+    score = best reference; corpus score = mean of segments."""
+    stem = _porter()
+    syn = _wordnet_synsets()
+    stages = [lambda c, r: c == r,
+              lambda c, r: stem(c) == stem(r)]
+    if syn is not None:
+        stages.append(lambda c, r: c in syn(r) or r in syn(c))
+
+    scores = []
+    for cand, refs in zip(candidates, references):
+        best = 0.0
+        for r in refs:
+            if not cand or not r:
+                continue
+            pairs = _align(cand, r, stages)
+            m = len(pairs)
+            if m == 0:
+                continue
+            prec = m / len(cand)
+            rec = m / len(r)
+            fmean = prec * rec / (alpha * prec + (1 - alpha) * rec)
+            frag = _chunks(pairs) / m
+            best = max(best, fmean * (1 - gamma * frag**beta_))
+        scores.append(best)
+    return float(np.mean(scores)) if scores else 0.0
+
+
 def caption_scores(
     candidates_text: Sequence[str],
     references_text: Sequence[Sequence[str]],
@@ -202,6 +321,7 @@ def caption_scores(
     out = {f"bleu_{i+1}": b[i] for i in range(4)}
     out["rouge_l"] = rouge_l(cands, refs)
     out["cider"] = cider_d(cands, refs)
+    out["meteor"] = meteor(cands, refs)
     out["meteor_lite"] = meteor_lite(cands, refs)
     if spice_scores is not None:
         out["spice"] = float(np.mean(spice_scores))

@@ -210,9 +210,21 @@ def beam_decode(model: ACTCaptioner, params, mel: jnp.ndarray, beam_size: int = 
     """Beam search (AudiocaptionLoss/tools/beam.py semantics: length-averaged
     log-prob scoring, EOS-terminated). Returns the best token row per sample."""
     max_len = max_len or model.max_len
+
+    # Fixed-shape decode: pad the prefix to max_len so XLA compiles the decoder
+    # ONCE instead of once per sequence length (the decoder is causal, so the
+    # padding cannot influence the logit read at the prefix's last position).
+    @jax.jit
+    def _step_logits(params, memory, tokens, pos):
+        logits = model.apply(params, memory, tokens, method=model.decode)
+        return jax.nn.log_softmax(
+            jax.lax.dynamic_slice_in_dim(logits, pos, 1, axis=1)[0, 0])
+
+    _encode = jax.jit(lambda params, m: model.apply(params, m, method=model.encode))
+
     out = []
     for b in range(mel.shape[0]):
-        memory = model.apply(params, mel[b : b + 1], method=model.encode)
+        memory = _encode(params, mel[b : b + 1])
         beams: List[Tuple[List[int], float, bool]] = [([model.sos_id], 0.0, False)]
         for _ in range(max_len - 1):
             cand: List[Tuple[List[int], float, bool]] = []
@@ -220,9 +232,10 @@ def beam_decode(model: ACTCaptioner, params, mel: jnp.ndarray, beam_size: int = 
                 if finished:
                     cand.append((seq, score, True))
                     continue
-                logits = model.apply(params, memory, jnp.asarray([seq], jnp.int32),
-                                     method=model.decode)
-                logp = np.asarray(jax.nn.log_softmax(logits[0, -1]))
+                padded = np.zeros((1, max_len), np.int32)
+                padded[0, : len(seq)] = seq
+                logp = np.asarray(_step_logits(params, memory,
+                                               jnp.asarray(padded), len(seq) - 1))
                 top = np.argsort(-logp)[:beam_size]
                 for t in top:
                     cand.append((seq + [int(t)], score + float(logp[t]),

@@ -211,6 +211,72 @@ class Diffsound:
         """Codec round-trip (DALLE.reconstruct, dalle_spec.py:249-261)."""
         return self.decode_tokens(params, self.encode_content(params, mel))
 
+    @property
+    def time_downsample(self) -> int:
+        """Codec temporal downsampling factor (16 for ch_mult [1,1,2,2,4])."""
+        return 2 ** (len(self.codec.ddconfig["ch_mult"]) - 1)
+
+    def generate_long(
+        self,
+        params,
+        key: jax.Array,
+        cond_tokens: jnp.ndarray,
+        *,
+        duration_frames: int,
+        overlap_frames: int = 160,
+        sample_type: str = "top0.85r",
+        use_fused: Optional[bool] = None,
+    ) -> jnp.ndarray:
+        """Long-form generation beyond the 10 s training window.
+
+        The reference caps clips at the transformer's 265-token grid (its
+        permuter hints at "infinite" sampling, permuter.py:31-49, but the
+        Diffsound path never uses it). Here: generate ``ceil`` overlapping
+        full-length segments for the same caption in ONE batched sampler call
+        (segments are just extra batch rows — ideal for the TPU MXU), decode,
+        and linearly cross-fade the overlaps in the mel domain (the codec is
+        fully convolutional in time, so segment edges are locally coherent).
+
+        ``duration_frames``: target mel frames (e.g. 2120 for ~25 s).
+        Returns (B, n_mels, duration_frames, 1) in [-1, 1]. Jittable for a
+        fixed ``duration_frames``.
+        """
+        import math
+
+        B = cond_tokens.shape[0]
+        seg = self.time_downsample * self.token_hw[1]
+        if overlap_frames <= 0 or overlap_frames >= seg:
+            raise ValueError(f"overlap_frames must be in (0, {seg})")
+        if duration_frames <= seg:
+            mel = self.generate(params, key, cond_tokens,
+                                sample_type=sample_type, use_fused=use_fused)
+            return mel[:, :, :duration_frames]
+        hop = seg - overlap_frames
+        n = math.ceil((duration_frames - seg) / hop) + 1
+        total = hop * (n - 1) + seg
+
+        cond_rep = jnp.repeat(cond_tokens, n, axis=0)
+        mels = self.generate(params, key, cond_rep, sample_type=sample_type,
+                             use_fused=use_fused)
+        n_mels = mels.shape[1]
+        mels = mels.reshape(B, n, n_mels, seg, 1)
+
+        ramp = (jnp.arange(1, overlap_frames + 1, dtype=mels.dtype)
+                / (overlap_frames + 1))
+        out = jnp.zeros((B, n_mels, total, 1), mels.dtype)
+        for i in range(n):  # n is static; unrolled into one fused add chain
+            w = jnp.ones((seg,), mels.dtype)
+            if i > 0:
+                w = w.at[:overlap_frames].set(ramp)
+            if i < n - 1:
+                w = w.at[-overlap_frames:].set(1.0 - ramp)
+            piece = mels[:, i] * w[None, None, :, None]
+            out = jax.lax.dynamic_update_slice(
+                out, jax.lax.dynamic_slice(out, (0, 0, i * hop, 0),
+                                           (B, n_mels, seg, 1)) + piece,
+                (0, 0, i * hop, 0))
+        return out[:, :, :duration_frames]
+
     def sample_grid(
         self,
         params,

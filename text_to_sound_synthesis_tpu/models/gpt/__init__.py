@@ -1,2 +1,2 @@
-from .model import GPT, GPTFeats, ar_sample
+from .model import GPT, GPTClass, GPTFeats, GPTFeatsClass, RNNEmbedder, ar_sample
 from .net2net import Net2NetTransformer

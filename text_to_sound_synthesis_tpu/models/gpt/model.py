@@ -23,7 +23,7 @@ from flax import linen as nn
 
 from ...utils.config import register
 
-__all__ = ["GPT", "GPTFeats", "ar_sample"]
+__all__ = ["GPT", "GPTFeats", "GPTClass", "GPTFeatsClass", "RNNEmbedder", "ar_sample"]
 
 
 class LayerCache(NamedTuple):
@@ -176,6 +176,57 @@ class GPT(nn.Module):
         return self.tok_emb(idx)
 
 
+class RNNEmbedder(nn.Module):
+    """Recurrent feature embedder (reference: ``torch.nn.LSTM``/``GRU``
+    instantiated from ``feat_embedding_config``, mingpt.py:266-282).
+
+    Consumes (B, T, D) and returns the full hidden sequence (B, T, H) —
+    matching ``feats, _ = self.embedder(feats)`` with ``batch_first=True``.
+    Stacked layers mirror torch's ``num_layers``; runs as a ``lax.scan`` over
+    the (short) conditioning sequence.
+    """
+
+    hidden_size: int
+    num_layers: int = 1
+    kind: str = "lstm"  # "lstm" | "gru"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cell_cls = nn.OptimizedLSTMCell if self.kind == "lstm" else nn.GRUCell
+        for i in range(self.num_layers):
+            # the cell binds to THIS module's scope (params: cell_{i}/...)
+            cell = cell_cls(self.hidden_size, dtype=self.dtype, name=f"cell_{i}")
+            x = nn.RNN(cell)(x)
+        return x
+
+
+def _build_feat_embedder(module: nn.Module, cfg: Optional[Mapping[str, Any]],
+                         n_embd: int, name: str = "embedder"):
+    """Shared feature-embedder factory for GPTFeats/GPTFeatsClass
+    (mirrors the reference's ``instantiate_from_config(feat_embedding_config)``
+    accepting torch.nn.{Conv1d,Linear,Identity,LSTM,GRU} targets)."""
+    ecfg = dict(cfg or {})
+    target = str(ecfg.get("target", "torch.nn.Conv1d"))
+    p = dict(ecfg.get("params") or {})
+    if target.endswith(("LSTM", "GRU")):
+        return RNNEmbedder(
+            hidden_size=p.get("hidden_size", n_embd),
+            num_layers=p.get("num_layers", 1),
+            kind="lstm" if target.endswith("LSTM") else "gru",
+            dtype=module.dtype, name=name,
+        )
+    if target.endswith("Conv1d"):
+        return nn.Conv(
+            p.get("out_channels", n_embd), (p.get("kernel_size", 1),),
+            padding=p.get("padding", 0), dtype=module.dtype, name=name,
+        )
+    if target.endswith(("Linear", "Identity")):
+        return nn.Dense(p.get("out_features", n_embd), dtype=module.dtype,
+                        name=name)
+    raise NotImplementedError(f"embedder {target!r}")
+
+
 @register(
     "text_to_sound_synthesis_tpu.models.gpt.GPTFeats",
     "specvqgan.modules.transformer.mingpt.GPTFeats",
@@ -184,8 +235,8 @@ class GPTFeats(nn.Module):
     """GPT conditioned on prepended raw features (CLIP text vectors).
 
     ``feat_embedding_config`` mirrors the reference YAML: a Conv1d
-    (in_channels -> n_embd, kernel 1) or Linear embedder applied to (B, D, T)
-    features (mingpt.py:263-293).
+    (in_channels -> n_embd, kernel 1), Linear, LSTM, or GRU embedder applied to
+    (B, D, T) features (mingpt.py:263-293).
     """
 
     feat_embedding_config: Optional[Mapping[str, Any]] = None
@@ -196,20 +247,8 @@ class GPTFeats(nn.Module):
         gcfg = dict(self.GPT_config or {})
         self.gpt = GPT(dtype=self.dtype, name="gpt",
                        **{k: v for k, v in gcfg.items() if k in GPT.__dataclass_fields__})
-        ecfg = dict(self.feat_embedding_config or {})
-        target = str(ecfg.get("target", "torch.nn.Conv1d"))
-        p = dict(ecfg.get("params") or {})
-        if target.endswith("Conv1d"):
-            self.embedder = nn.Conv(
-                p.get("out_channels", self.gpt.n_embd),
-                (p.get("kernel_size", 1),),
-                padding=p.get("padding", 0), dtype=self.dtype, name="embedder",
-            )
-        elif target.endswith(("Linear", "Identity")):
-            self.embedder = nn.Dense(p.get("out_features", self.gpt.n_embd),
-                                     dtype=self.dtype, name="embedder")
-        else:
-            raise NotImplementedError(f"embedder {target!r} (LSTM/GRU variants unsupported)")
+        self.embedder = _build_feat_embedder(self, self.feat_embedding_config,
+                                             self.gpt.n_embd)
 
     def embed_feats(self, feats: jnp.ndarray) -> jnp.ndarray:
         """(B, D, T) channel-major features -> (B, T, n_embd)."""
@@ -272,11 +311,68 @@ class GPTClass(nn.Module):
         return self.gpt.decode_token(token, cache, pos)
 
 
+@register(
+    "text_to_sound_synthesis_tpu.models.gpt.GPTFeatsClass",
+    "specvqgan.modules.transformer.mingpt.GPTFeatsClass",
+)
+class GPTFeatsClass(nn.Module):
+    """GPT conditioned on prepended features AND a class token
+    (mingpt.py:306-349; cond stage ``FeatsClassStage``,
+    ``modules/misc/feats_class.py:3``): the conditioning prefix is
+    ``concat([embed(feats), embed(class)], seq_axis)``.
+    """
+
+    feat_embedding_config: Optional[Mapping[str, Any]] = None
+    token_embedding_config: Optional[Mapping[str, Any]] = None
+    GPT_config: Optional[Mapping[str, Any]] = None
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        gcfg = dict(self.GPT_config or {})
+        self.gpt = GPT(dtype=self.dtype, name="gpt",
+                       **{k: v for k, v in gcfg.items() if k in GPT.__dataclass_fields__})
+        self.feat_embedder = _build_feat_embedder(
+            self, self.feat_embedding_config, self.gpt.n_embd, name="feat_embedder")
+        p = dict((self.token_embedding_config or {}).get("params") or {})
+        self.cls_embedder = nn.Embed(
+            p.get("num_embeddings", p.get("n_classes", 1000)),
+            p.get("features", p.get("embedding_dim", self.gpt.n_embd)),
+            dtype=self.dtype, name="cls_embedder")
+
+    def embed_feats(self, feats_token) -> jnp.ndarray:
+        """``feats_token``: mapping {'feature': (B, D, T), 'target': (B,) or
+        (B, 1) class ids} (FeatsClassStage.get_input layout) or an equivalent
+        (feats, cls) tuple -> (B, T + 1, n_embd)."""
+        if isinstance(feats_token, (tuple, list)):
+            feats, cls_idx = feats_token
+        else:
+            feats, cls_idx = feats_token["feature"], feats_token["target"]
+        feat_emb = self.feat_embedder(jnp.swapaxes(feats, 1, 2))
+        if cls_idx.ndim == 1:
+            cls_idx = cls_idx[:, None]
+        cls_emb = self.cls_embedder(cls_idx.astype(jnp.int32))
+        return jnp.concatenate([feat_emb, cls_emb.astype(feat_emb.dtype)], axis=1)
+
+    def __call__(self, idx, feats_token, *, deterministic: bool = True):
+        return self.gpt(idx, embeddings=self.embed_feats(feats_token),
+                        deterministic=deterministic)
+
+    def init_cache(self, batch, max_len=None):
+        return self.gpt.init_cache(batch, max_len)
+
+    def decode_embedded(self, x_emb, cache, pos):
+        return self.gpt.decode_embedded(x_emb, cache, pos)
+
+    def decode_token(self, token, cache, pos):
+        return self.gpt.decode_token(token, cache, pos)
+
+
 def ar_sample(
     model,
     params,
     key: jax.Array,
-    cond_feats: jnp.ndarray,   # (B, D, Tc) channel-major raw features
+    cond_feats,                # (B, D, Tc) raw features; GPTClass: (B,)/(B,1)
+                               # ids; GPTFeatsClass: {'feature','target'} dict
     *,
     steps: int,
     top_k: int = 100,
@@ -289,9 +385,8 @@ def ar_sample(
     """
     from ...ops.sampling import top_k_multinomial
 
-    B = cond_feats.shape[0]
     cond_emb = model.apply(params, cond_feats, method=model.embed_feats)  # (B, Tc, D)
-    Tc = cond_emb.shape[1]
+    B, Tc = cond_emb.shape[:2]
     cache = model.apply(params, B, method=model.init_cache)
 
     # prefill the conditioning prefix

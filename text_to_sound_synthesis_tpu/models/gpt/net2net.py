@@ -21,7 +21,7 @@ import optax
 from ...ops import permuter as permuter_ops
 from ...utils.config import instantiate_from_config, register
 from ..vqgan.model import VQModel
-from .model import GPTFeats, ar_sample
+from .model import GPTClass, GPTFeats, GPTFeatsClass, ar_sample
 
 __all__ = ["Net2NetTransformer"]
 
@@ -51,7 +51,11 @@ class Net2NetTransformer:
             {**first_stage_config, "params": {**(first_stage_config.get("params") or {}), "dtype": dtype}}
         )
         tcfg = dict(transformer_config.get("params") or {})
-        self.gpt = GPTFeats(dtype=dtype, **tcfg)
+        target = str(transformer_config.get("target", "mingpt.GPTFeats"))
+        gpt_cls = (GPTFeatsClass if target.endswith("GPTFeatsClass")
+                   else GPTClass if target.endswith("GPTClass")
+                   else GPTFeats)
+        self.gpt = gpt_cls(dtype=dtype, **tcfg)
         if first_stage_permuter_config:
             self.permuter = instantiate_from_config(first_stage_permuter_config)
         else:
@@ -59,13 +63,15 @@ class Net2NetTransformer:
 
     # -- init ---------------------------------------------------------------
 
-    def init_params(self, key, mel_shape=(1, 80, 848, 1), cond_shape=(1, 512, 1)):
+    def init_params(self, key, mel_shape=(1, 80, 848, 1), cond_shape=(1, 512, 1),
+                    cond_example=None):
+        """``cond_example`` overrides the zero-feature example for the class /
+        feats+class conditioned variants (class ids, {'feature','target'})."""
         k1, k2 = jax.random.split(key)
         codec_params = self.codec.init(k1, jnp.zeros(mel_shape))
-        steps = self.gpt.GPT_config["block_size"] - cond_shape[-1]
-        gpt_params = self.gpt.init(
-            k2, jnp.zeros((1, steps - 1), jnp.int32), jnp.zeros(cond_shape)
-        )
+        if cond_example is None:
+            cond_example = jnp.zeros(cond_shape)
+        gpt_params = self.gpt.init(k2, jnp.zeros((1, 1), jnp.int32), cond_example)
         return {"codec": codec_params, "gpt": gpt_params}
 
     # -- token paths ---------------------------------------------------------

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Any, Mapping, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -20,7 +21,7 @@ from ...utils.config import register
 from .modules import Decoder, Encoder
 from .quantize import VectorQuantizer, VQResult
 
-__all__ = ["VQModel"]
+__all__ = ["VQModel", "VQNoDiscModel", "VQSegmentationModel"]
 
 
 @register(
@@ -91,3 +92,39 @@ class VQModel(nn.Module):
         quant, vq = self.encode(x, deterministic=deterministic)
         xrec = self.decode(quant, deterministic=deterministic)
         return xrec, vq
+
+
+@register(
+    "text_to_sound_synthesis_tpu.models.vqgan.VQNoDiscModel",
+    "specvqgan.models.vqgan.VQNoDiscModel",
+)
+class VQNoDiscModel(VQModel):
+    """VQModel trained without an adversarial loss
+    (``Codebook/specvqgan/models/vqgan.py:284-331``): same network; the single
+    AE optimizer / recon+codebook loss lives in
+    ``engine/vqgan_solver.py::make_vqgan_nodisc_train_step``."""
+
+
+@register(
+    "text_to_sound_synthesis_tpu.models.vqgan.VQSegmentationModel",
+    "specvqgan.models.vqgan.VQSegmentationModel",
+)
+class VQSegmentationModel(VQModel):
+    """Segmentation-map VQ autoencoder
+    (``Codebook/specvqgan/models/vqgan.py:232-281``): decoder emits
+    ``n_labels`` class-logit channels (set ``ddconfig.out_ch = n_labels``);
+    trained AE-only with a pixel-wise BCE loss
+    (``engine/vqgan_solver.py::make_vqgan_segmentation_train_step``).
+    The reference's random ``colorize`` projection is visualization-only and
+    regenerated on demand (``segmentation_to_rgb``)."""
+
+    n_labels: int | None = None
+
+    def segmentation_to_rgb(self, logits: jnp.ndarray, key) -> jnp.ndarray:
+        """Random 3-channel projection of one-hot argmax labels, normalized to
+        [-1, 1] (vqgan.py:265-281 ``to_rgb``)."""
+        n = logits.shape[-1]
+        proj = jax.random.normal(key, (n, 3), logits.dtype)
+        onehot = jax.nn.one_hot(jnp.argmax(logits, axis=-1), n, dtype=logits.dtype)
+        x = onehot @ proj
+        return 2.0 * (x - x.min()) / (x.max() - x.min() + 1e-12) - 1.0

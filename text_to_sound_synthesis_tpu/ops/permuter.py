@@ -48,11 +48,37 @@ class Identity(_IndexPermuter):
 )
 class ColumnMajor(_IndexPermuter):
     """Row-major (H, W) grid -> time-major order: column by column
-    (permuter.py:21-55). For specs: emit all mel bins of frame 0, then frame 1, ..."""
+    (permuter.py:21-55). For specs: emit all mel bins of frame 0, then frame 1, ...
+
+    Like the reference (permuter.py:31-49), sequences LONGER than H*W re-derive
+    the index for the scaled width (L must be a multiple of H*W) — this is what
+    makes "infinite"/long-form sampling work: the grid grows along time while
+    staying time-major. Re-derived indices are cached per length (static shapes,
+    so each distinct L compiles once).
+    """
 
     def __init__(self, H: int, W: int):
         self.H, self.W = H, W
+        self._cache: dict[int, tuple[jnp.ndarray, jnp.ndarray]] = {}
         super().__init__(np.arange(H * W).reshape(H, W).T.ravel())
+
+    def _idx_for(self, L: int, reverse: bool) -> jnp.ndarray:
+        base = self.H * self.W
+        if L == base:
+            return self.backward_idx if reverse else self.forward_idx
+        if L % base != 0:
+            raise ValueError(
+                f"sequence length {L} is not a multiple of H*W = {base}")
+        if L not in self._cache:
+            w = self.W * (L // base)
+            idx = np.arange(self.H * w).reshape(self.H, w).T.ravel()
+            self._cache[L] = (jnp.asarray(idx, jnp.int32),
+                              jnp.asarray(np.argsort(idx), jnp.int32))
+        fwd, bwd = self._cache[L]
+        return bwd if reverse else fwd
+
+    def __call__(self, x, reverse: bool = False):
+        return jnp.take(x, self._idx_for(x.shape[-1], reverse), axis=-1)
 
 
 @register(

@@ -35,8 +35,18 @@ def main():
     p.add_argument("--beam", type=int, default=3)
     p.add_argument("--select_topk", type=int, default=0)
     p.add_argument("--select_out", default=None)
-    p.add_argument("--select_metric", default="cider", choices=["cider", "bleu_4", "rouge_l"])
+    p.add_argument("--select_metric", default="cider",
+                   choices=["cider", "bleu_4", "rouge_l", "meteor", "spice"],
+                   help="reference selects by SPICE (AudiocaptionLoss/eval.py:27-59); "
+                        "'spice' here requires --spice_scores from an external "
+                        "coco-caption Java run (not bundled)")
+    p.add_argument("--spice_scores", default=None,
+                   help="JSON {sample_filename: spice_score} computed externally; "
+                        "enables --select_metric spice and the true SPIDEr")
     args = p.parse_args()
+    if args.select_metric == "spice" and not args.spice_scores:
+        p.error("--select_metric spice needs --spice_scores "
+                "(external coco-caption Java run)")
 
     import jax
     import jax.numpy as jnp
@@ -82,18 +92,37 @@ def main():
         clip_of.append(clip)
         per_file.append(path)
 
-    scores = caption_scores(cands, ref_sets)
+    spice_by_file = None
+    if args.spice_scores:
+        import json
+
+        with open(args.spice_scores) as f:
+            spice_by_file = json.load(f)
+
+    scores = caption_scores(
+        cands, ref_sets,
+        spice_scores=[spice_by_file.get(os.path.basename(p), 0.0)
+                      for p in per_file] if spice_by_file else None)
     for k, v in scores.items():
         print(f"{k}: {v:.4f}")
 
     if args.select_topk and args.select_out:
-        from text_to_sound_synthesis_tpu.evaluation.caption_metrics import cider_d
+        from text_to_sound_synthesis_tpu.evaluation import caption_metrics as cm
+
+        def score_one(path, cand, rs):
+            if args.select_metric == "spice":
+                return float(spice_by_file.get(os.path.basename(path), 0.0))
+            ct = [tokenize_caption(cand)]
+            rt = [[tokenize_caption(r) for r in rs]]
+            return {"cider": lambda: cm.cider_d(ct, rt),
+                    "bleu_4": lambda: cm.bleu(ct, rt)[3],
+                    "rouge_l": lambda: cm.rouge_l(ct, rt),
+                    "meteor": lambda: cm.meteor(ct, rt)}[args.select_metric]()
 
         os.makedirs(args.select_out, exist_ok=True)
         by_clip = defaultdict(list)
         for path, cand, rs in zip(per_file, cands, ref_sets):
-            rt = [tokenize_caption(r) for r in rs]
-            s = cider_d([tokenize_caption(cand)], [rt])
+            s = score_one(path, cand, rs)
             by_clip[os.path.basename(path).split("_sample_")[0]].append((s, path))
         for clip, entries in by_clip.items():
             entries.sort(reverse=True)
