@@ -1,0 +1,112 @@
+"""Int8 serving runtime vs the f32/bf16 denoiser: logits accuracy + sampler.
+
+With no released checkpoints in this environment, the gate is: (1) the int8
+forward tracks the full-precision forward on random weights (relative error +
+correlation), (2) the int8 sampler produces valid tokens deterministically.
+Kernel-vs-oracle exactness is covered in tests/test_quant.py; these tests use
+the jnp oracle path (use_kernel=False — CPU suite)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from text_to_sound_synthesis_tpu.models.diffusion import DiscreteDiffusion
+from text_to_sound_synthesis_tpu.models.diffusion.int8_runtime import (
+    int8_backbone_logits,
+    precompute_cond_kvs,
+    quantize_denoiser,
+    sample_tokens_int8,
+)
+
+T = 10
+L = 15
+NUM_EMBED = 16
+D = 128
+HEADS = 4
+COND_DIM = 64
+S = 7
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = DiscreteDiffusion(
+        transformer_config={"params": dict(
+            n_layer=2, n_embd=D, n_head=HEADS, content_seq_len=L,
+            condition_dim=COND_DIM, content_spatial_size=(3, 5),
+            block_activate="GELU2",
+        )},
+        content_emb_config={"params": dict(num_embed=NUM_EMBED, embed_dim=D,
+                                           spatial_size=(3, 5))},
+        diffusion_step=T,
+    )
+    key = jax.random.PRNGKey(0)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, L), 0, NUM_EMBED + 1)
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, S, COND_DIM))
+    params = model.init(key, tokens, cond, jnp.zeros((2,), jnp.int32))
+    qp = quantize_denoiser(params, n_head=HEADS, seq_len=L, num_timesteps=T)
+    return model, params, qp, tokens, cond
+
+
+def test_logits_match_fp_path(setup):
+    model, params, qp, tokens, cond = setup
+    tvec = jnp.full((2,), 3, jnp.int32)
+    want = model.apply(params, tokens, cond, tvec, method=model.backbone_logits)
+    kvs = precompute_cond_kvs(qp, cond)
+    got = int8_backbone_logits(qp, tokens, jnp.int32(3), kvs, use_kernel=False)
+
+    w = np.asarray(want, np.float64).ravel()
+    g = np.asarray(got, np.float64).ravel()
+    rel = np.linalg.norm(g - w) / (np.linalg.norm(w) + 1e-9)
+    corr = np.corrcoef(w, g)[0, 1]
+    assert rel < 0.08, rel
+    assert corr > 0.995, corr
+
+
+def test_logits_every_timestep_finite(setup):
+    model, params, qp, tokens, cond = setup
+    kvs = precompute_cond_kvs(qp, cond)
+    for t in (0, T // 2, T - 1):
+        out = int8_backbone_logits(qp, tokens, jnp.int32(t), kvs, use_kernel=False)
+        assert out.shape == (2, L, NUM_EMBED)
+        assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_sampler_runs_and_is_deterministic(setup):
+    model, params, qp, _, cond = setup
+    sched = model.schedule()
+    toks1 = sample_tokens_int8(qp, sched, jax.random.PRNGKey(5), cond,
+                               truncation_r=0.85, use_kernel=False)
+    toks2 = sample_tokens_int8(qp, sched, jax.random.PRNGKey(5), cond,
+                               truncation_r=0.85, use_kernel=False)
+    a = np.asarray(toks1)
+    assert a.shape == (2, L)
+    assert (a >= 0).all() and (a < NUM_EMBED + 1).all()
+    # the final step samples from the posterior at t=0: MASK should be gone
+    assert (a != NUM_EMBED).all()
+    np.testing.assert_array_equal(a, np.asarray(toks2))
+
+
+def test_sampler_tracks_fp_sampler_distribution(setup):
+    """Aggregate token statistics of the int8 sampler should track the f32
+    fused sampler (same seeds, random weights): compare marginal token
+    histograms via total-variation distance."""
+    from text_to_sound_synthesis_tpu.models.diffusion.process import (
+        sample_tokens_fused,
+    )
+
+    model, params, qp, _, cond = setup
+    sched = model.schedule()
+    n_rep = 12
+    cond_rep = jnp.tile(cond, (n_rep, 1, 1))
+    t_fp = sample_tokens_fused(model, params, jax.random.PRNGKey(7), cond_rep,
+                               truncation_r=0.85, use_kernel=False)
+    t_q = sample_tokens_int8(qp, sched, jax.random.PRNGKey(7), cond_rep,
+                             truncation_r=0.85, use_kernel=False)
+    h_fp = np.bincount(np.asarray(t_fp).ravel(), minlength=NUM_EMBED + 1)
+    h_q = np.bincount(np.asarray(t_q).ravel(), minlength=NUM_EMBED + 1)
+    p = h_fp / h_fp.sum()
+    q = h_q / h_q.sum()
+    tv = 0.5 * np.abs(p - q).sum()
+    assert tv < 0.25, tv

@@ -54,6 +54,16 @@ def make_data_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
     n = len(devices)
     while n > 1 and batch_size % n != 0:
         n -= 1
+    if n != len(devices):
+        import warnings
+
+        warnings.warn(
+            f"global batch {batch_size} does not divide the {len(devices)} available "
+            f"devices; training on {n} device(s) and IDLING {len(devices) - n}. "
+            f"Pick a batch size divisible by the device count to use every chip.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return make_mesh(devices[:n])
 
 

@@ -11,15 +11,15 @@ set -u
 cd "$(dirname "$0")/.."
 
 CHUNK1="tests/test_signal.py tests/test_diffusion_math.py tests/test_sampling_ops.py \
-tests/test_fused_sampler.py tests/test_vqgan.py tests/test_gpt.py tests/test_clip.py \
-tests/test_melgan.py tests/test_data.py tests/test_config.py"
+tests/test_fused_sampler.py tests/test_quant.py tests/test_vqgan.py tests/test_gpt.py \
+tests/test_clip.py tests/test_melgan.py tests/test_data.py tests/test_config.py"
 CHUNK2="tests/test_diffusion_model.py tests/test_composite.py tests/test_engine.py \
 tests/test_solver.py tests/test_evaluation.py tests/test_captioner.py \
-tests/test_caption_metrics_full.py tests/test_longform.py"
+tests/test_caption_metrics_full.py tests/test_longform.py tests/test_int8_runtime.py"
 CHUNK3="tests/test_convert.py tests/test_reference_parity.py tests/test_melception_full.py \
 tests/test_learning.py"
 CHUNK4="tests/test_cli.py tests/test_classifier_solver.py tests/test_vocoder_training.py \
-tests/test_vqgan_training.py tests/test_native_loader.py"
+tests/test_vocoder_learning.py tests/test_vqgan_training.py tests/test_native_loader.py"
 
 fail=0
 run_chunk() {
