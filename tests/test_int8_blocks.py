@@ -1,0 +1,97 @@
+"""Block-level int8 kernels (ops/int8_block.py) + fused MHA (ops/attention.py)
+vs their jnp oracles — interpret mode, CPU suite.
+
+The real-TPU counterparts of these checks ran at flagship shape during
+development (maxerr = 1 bf16 ulp); here we pin the math at small shapes."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from text_to_sound_synthesis_tpu.ops import int8_block as IB
+from text_to_sound_synthesis_tpu.ops.attention import fused_mha, mha_reference
+from text_to_sound_synthesis_tpu.ops.quant import quantize_weight
+
+B, Lp, D, H, Skv = 2, 32, 128, 4, 16
+M = B * Lp
+
+
+def _qw(key, K, N, s=0.05):
+    return quantize_weight(
+        jax.random.normal(jax.random.PRNGKey(key), (K, N), jnp.float32) * s,
+        jax.random.normal(jax.random.PRNGKey(key + 100), (N,), jnp.float32) * 0.05,
+    )
+
+
+@pytest.fixture(scope="module")
+def data():
+    x = jax.random.normal(jax.random.PRNGKey(0), (M, D), jnp.bfloat16)
+    mod = jnp.stack([jax.random.normal(jax.random.PRNGKey(1), (D,)) * 0.2,
+                     jax.random.normal(jax.random.PRNGKey(2), (D,)) * 0.2])
+    return x, mod
+
+
+def _close(got, want, tol=2e-2):
+    g = np.asarray(got, np.float32)
+    w = np.asarray(want, np.float32)
+    np.testing.assert_allclose(g, w, rtol=tol, atol=tol)
+
+
+def test_fused_mha_matches_reference(data):
+    x, _ = data
+    q = x
+    k = jax.random.normal(jax.random.PRNGKey(3), (M, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(4), (M, D), jnp.bfloat16)
+    got = fused_mha(q, k, v, batch=B, n_head=H, kv_valid=Lp - 5, interpret=True)
+    want = mha_reference(q, k, v, batch=B, n_head=H, kv_valid=Lp - 5)
+    _close(got, want)
+
+
+def test_self_attn_block(data):
+    x, mod = data
+    ws = [_qw(i, D, D) for i in (3, 4, 5, 6)]
+    got = IB.self_attn_block(x, mod, *ws, batch=B, n_head=H, q_valid=Lp - 3,
+                             interpret=True)
+    want = IB.self_attn_block_reference(x, mod, *ws, batch=B, n_head=H,
+                                        q_valid=Lp - 3)
+    g = np.asarray(got, np.float32).reshape(B, Lp, D)[:, :Lp - 3]
+    w = np.asarray(want, np.float32).reshape(B, Lp, D)[:, :Lp - 3]
+    np.testing.assert_allclose(g, w, rtol=2e-2, atol=2e-2)
+
+
+def test_cross_attn_block(data):
+    x, mod = data
+    ck = jax.random.normal(jax.random.PRNGKey(7), (B * Skv, D), jnp.bfloat16)
+    cv = jax.random.normal(jax.random.PRNGKey(8), (B * Skv, D), jnp.bfloat16)
+    wq, wp = _qw(9, D, D), _qw(10, D, D)
+    got = IB.cross_attn_block(x, mod, ck, cv, wq, wp, batch=B, n_head=H,
+                              kv_valid=Skv - 4, interpret=True)
+    want = IB.cross_attn_block_reference(x, mod, ck, cv, wq, wp, batch=B,
+                                         n_head=H, kv_valid=Skv - 4)
+    _close(got, want)
+
+
+def test_mlp_block(data):
+    x, mod = data
+    w1, w2 = _qw(11, D, 4 * D), _qw(12, 4 * D, D)
+    got = IB.mlp_block(x, mod, w1, w2, block_m=32, interpret=True)
+    want = IB.mlp_block_reference(x, mod, w1, w2)
+    _close(got, want)
+
+
+def test_multi_dense_matches_single(data):
+    """fused_quant_dense_multi's oracle path — shared quantize, many outputs."""
+    from text_to_sound_synthesis_tpu.ops.quant import (
+        fused_quant_dense_multi,
+        quant_dense_reference,
+    )
+
+    x, mod = data
+    ws = [_qw(i, D, D) for i in (13, 14, 15)]
+    outs = fused_quant_dense_multi(x, ws, norm="adaln", mod=mod, block_m=32,
+                                   interpret=True)
+    for w, got in zip(ws, outs):
+        want = quant_dense_reference(x, w, norm="adaln", mod=mod)
+        _close(got, want)

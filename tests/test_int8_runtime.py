@@ -3,8 +3,8 @@
 With no released checkpoints in this environment, the gate is: (1) the int8
 forward tracks the full-precision forward on random weights (relative error +
 correlation), (2) the int8 sampler produces valid tokens deterministically.
-Kernel-vs-oracle exactness is covered in tests/test_quant.py; these tests use
-the jnp oracle path (use_kernel=False — CPU suite)."""
+Kernel-vs-oracle exactness is covered in tests/test_quant.py; these tests run
+the default XLA int8 path (CPU suite; the Pallas sampler step is TPU-gated)."""
 
 import numpy as np
 import pytest
@@ -54,7 +54,7 @@ def test_logits_match_fp_path(setup):
     tvec = jnp.full((2,), 3, jnp.int32)
     want = model.apply(params, tokens, cond, tvec, method=model.backbone_logits)
     kvs = precompute_cond_kvs(qp, cond)
-    got = int8_backbone_logits(qp, tokens, jnp.int32(3), kvs, use_kernel=False)
+    got = int8_backbone_logits(qp, tokens, jnp.int32(3), kvs)
 
     w = np.asarray(want, np.float64).ravel()
     g = np.asarray(got, np.float64).ravel()
@@ -68,7 +68,7 @@ def test_logits_every_timestep_finite(setup):
     model, params, qp, tokens, cond = setup
     kvs = precompute_cond_kvs(qp, cond)
     for t in (0, T // 2, T - 1):
-        out = int8_backbone_logits(qp, tokens, jnp.int32(t), kvs, use_kernel=False)
+        out = int8_backbone_logits(qp, tokens, jnp.int32(t), kvs)
         assert out.shape == (2, L, NUM_EMBED)
         assert np.isfinite(np.asarray(out, np.float32)).all()
 
@@ -77,9 +77,9 @@ def test_sampler_runs_and_is_deterministic(setup):
     model, params, qp, _, cond = setup
     sched = model.schedule()
     toks1 = sample_tokens_int8(qp, sched, jax.random.PRNGKey(5), cond,
-                               truncation_r=0.85, use_kernel=False)
+                               truncation_r=0.85)
     toks2 = sample_tokens_int8(qp, sched, jax.random.PRNGKey(5), cond,
-                               truncation_r=0.85, use_kernel=False)
+                               truncation_r=0.85)
     a = np.asarray(toks1)
     assert a.shape == (2, L)
     assert (a >= 0).all() and (a < NUM_EMBED + 1).all()
@@ -101,9 +101,9 @@ def test_sampler_tracks_fp_sampler_distribution(setup):
     n_rep = 12
     cond_rep = jnp.tile(cond, (n_rep, 1, 1))
     t_fp = sample_tokens_fused(model, params, jax.random.PRNGKey(7), cond_rep,
-                               truncation_r=0.85, use_kernel=False)
+                               truncation_r=0.85)
     t_q = sample_tokens_int8(qp, sched, jax.random.PRNGKey(7), cond_rep,
-                             truncation_r=0.85, use_kernel=False)
+                             truncation_r=0.85)
     h_fp = np.bincount(np.asarray(t_fp).ravel(), minlength=NUM_EMBED + 1)
     h_q = np.bincount(np.asarray(t_q).ravel(), minlength=NUM_EMBED + 1)
     p = h_fp / h_fp.sum()

@@ -237,12 +237,13 @@ class Diffsound:
         cond_tokens: jnp.ndarray,
         *,
         sample_type: str = "top0.85r",
-        use_kernel: Optional[bool] = None,
+        impl: Optional[str] = None,
     ):
         """``generate`` on the int8 serving engine (top-r sampling only).
 
         ``params`` supplies the full-precision codec/cond trees; ``qp`` is the
-        engine from ``quantize_for_serving``. ~1.7x the bf16 sampler on v5e.
+        engine from ``quantize_for_serving``. ``impl`` picks the transformer
+        path (default: pallas block kernels on TPU, xla elsewhere).
         """
         from .diffusion.int8_runtime import sample_tokens_int8
 
@@ -257,7 +258,7 @@ class Diffsound:
         cond_emb = self.embed_condition(params, cond_tokens)
         tokens = sample_tokens_int8(
             qp, self.diffusion.schedule(), key, cond_emb,
-            truncation_r=r, skip_step=skip_step, use_kernel=use_kernel,
+            truncation_r=r, skip_step=skip_step, impl=impl,
         )
         return self.decode_tokens(params, tokens)
 

@@ -34,8 +34,9 @@ from ...ops import diffusion as dd
 from ...ops import fused_sampler as fs
 from ...ops.quant import (
     QuantizedWeight,
-    fused_quant_dense,
+    fused_quant_dense_multi,
     quant_dense_reference,
+    quant_dense_xla,
     quantize_weight,
 )
 
@@ -48,9 +49,17 @@ __all__ = [
 
 
 class Int8Layer(NamedTuple):
-    """One SelfCrossBlock, weights stacked over layers in ``Int8Denoiser``."""
+    """One SelfCrossBlock, weights stacked over layers in ``Int8Denoiser``.
 
-    qkv: QuantizedWeight        # (D, 3D) — query|key|value packed
+    q/k/v are separate (not packed): a packed (D, 3D) matmul forces minor-dim
+    slices + physical copies when splitting heads for attention — profiled at
+    ~3 ms/step of pure copy/reshape at flagship scale. Separate dots share one
+    quantized input (XLA CSEs the quantize) and reshape for free.
+    """
+
+    q: QuantizedWeight          # (D, D)
+    k: QuantizedWeight          # (D, D)
+    v: QuantizedWeight          # (D, D)
     proj: QuantizedWeight       # (D, D)
     crossq: QuantizedWeight     # (D, D)
     crossproj: QuantizedWeight  # (D, D)
@@ -106,17 +115,11 @@ def quantize_denoiser(params: Any, *, n_head: int, seq_len: int,
     per_layer = []
     for i in range(n_layer):
         b = p[f"block_{i}"]
-        wq = b["attn1"]["query"]["kernel"]
-        wk = b["attn1"]["key"]["kernel"]
-        wv = b["attn1"]["value"]["kernel"]
-        bq = b["attn1"]["query"]["bias"]
-        bk = b["attn1"]["key"]["bias"]
-        bv = b["attn1"]["value"]["bias"]
-        qkv = quantize_weight(jnp.concatenate([wq, wk, wv], axis=1),
-                              jnp.concatenate([bq, bk, bv]))
         ln2 = jnp.stack([b["ln2"]["scale"], b["ln2"]["bias"]]).astype(jnp.float32)
         per_layer.append(Int8Layer(
-            qkv=qkv,
+            q=_qw(b["attn1"]["query"]),
+            k=_qw(b["attn1"]["key"]),
+            v=_qw(b["attn1"]["value"]),
             proj=_qw(b["attn1"]["proj"]),
             crossq=_qw(b["attn2"]["query"]),
             crossproj=_qw(b["attn2"]["proj"]),
@@ -130,7 +133,10 @@ def quantize_denoiser(params: Any, *, n_head: int, seq_len: int,
             cv_w=b["attn2"]["value"]["kernel"].astype(jnp.bfloat16),
             cv_b=b["attn2"]["value"]["bias"].astype(jnp.float32),
         ))
-    layers = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_layer)
+    # layers stay UNSTACKED (tuple of per-layer pytrees): Pallas inputs need
+    # dense buffers, so per-layer slices of stacked (n, K, N) weights would be
+    # materialized as fresh HBM copies every step (profiled ~0.9 ms/step)
+    layers = tuple(per_layer)
 
     emb = p["content_emb"]
     tok = emb["emb"]["embedding"]
@@ -152,28 +158,41 @@ def quantize_denoiser(params: Any, *, n_head: int, seq_len: int,
 
 def _pad_plan(batch: int, seq_len: int) -> Tuple[int, int]:
     """(L_pad, block_m): smallest padded length whose B*L_pad admits an
-    int8-tile-aligned row block (multiple of 32, ideally 128)."""
+    int8-tile-aligned row block. Larger blocks measured faster (fewer grid
+    programs, one prologue each): 544 beat 128 by ~0.6 ms/step at flagship
+    scale. VMEM cap: block 544 x 4096 int32 acc still fits alongside the
+    resident weights."""
     start = -(-seq_len // 8) * 8
     for l_pad in range(start, start + 64, 8):
-        for bm in (128, 96, 64, 32):
-            if (batch * l_pad) % bm == 0:
+        for bm in (544, 512, 272, 256, 128, 96, 64, 32):
+            if (batch * l_pad) % bm == 0 and (batch * l_pad) // bm >= 2:
                 return l_pad, bm
     return -(-seq_len // 32) * 32, 32
 
 
 def precompute_cond_kvs(qp: Int8Denoiser, cond_emb: jnp.ndarray):
-    """(B, S, Dc) condition -> stacked per-layer cross K/V (n_layer, B, S, H, hd)."""
+    """(B, S, Dc) condition -> per-layer cross K/V tuples ((B, S, H, hd) x2)."""
     cond = cond_emb.astype(jnp.bfloat16)
     H = qp.n_head
 
-    def one(ck_w, ck_b, cv_w, cv_b):
-        k = cond @ ck_w + ck_b.astype(jnp.bfloat16)
-        v = cond @ cv_w + cv_b.astype(jnp.bfloat16)
+    def one(lyr):
+        k = cond @ lyr.ck_w + lyr.ck_b.astype(jnp.bfloat16)
+        v = cond @ lyr.cv_w + lyr.cv_b.astype(jnp.bfloat16)
         B, S, D = k.shape
         return (k.reshape(B, S, H, D // H), v.reshape(B, S, H, D // H))
 
-    return jax.vmap(one)(qp.layers.ck_w, qp.layers.ck_b,
-                         qp.layers.cv_w, qp.layers.cv_b)
+    return tuple(one(lyr) for lyr in qp.layers)
+
+
+def _flatten_cond_kvs(kvs, s_pad: int):
+    """Per-layer 4-D K/V -> flat (B*s_pad, D) rows for the in-kernel MHA
+    (done once per generation, outside the step scan)."""
+    def flat(a):  # (B, S, H, hd)
+        B, S, H, hd = a.shape
+        a = jnp.pad(a, ((0, 0), (0, s_pad - S), (0, 0), (0, 0)))
+        return a.reshape(B * s_pad, H * hd)
+
+    return tuple((flat(k), flat(v)) for k, v in kvs)
 
 
 def _attend(q, k, v, bias=None):
@@ -187,51 +206,111 @@ def _attend(q, k, v, bias=None):
     return jnp.einsum("bhls,bshd->blhd", att, v)
 
 
+def _dense_xla_multi(x, ws, **kw):
+    """quant_dense_xla lifted to the multi-output signature."""
+    kw.pop("block_m", None)
+    return tuple(quant_dense_xla(x, w, **kw) for w in ws)
+
+
+def _dense_ref_multi(x, ws, **kw):
+    kw.pop("block_m", None)
+    return tuple(quant_dense_reference(x, w, **kw) for w in ws)
+
+
+_DENSE_IMPLS = {
+    "pallas_dense": fused_quant_dense_multi,  # per-dense kernels (ablation)
+    "xla": _dense_xla_multi,             # no padding needed; portable
+    "reference": _dense_ref_multi,       # bit-identical oracle (int32 dot)
+}
+# impl="pallas" uses the block kernels (ops/int8_block.py): 3 kernel
+# boundaries per layer instead of 8 — the production serving path.
+
+
 def int8_backbone_logits(
     qp: Int8Denoiser,
     tokens: jnp.ndarray,            # (B, L) int32
     t: jnp.ndarray,                 # scalar int32 (shared across batch)
     cond_kvs,                       # from precompute_cond_kvs
     *,
-    use_kernel: bool = True,
+    impl: str = "xla",
+    mods=None,                      # per-layer ((2, D), (2, D)) AdaLN
+                                    # modulations for this t, prefetched by
+                                    # the sampler; defaults to per-layer
+                                    # table gathers
 ) -> jnp.ndarray:
     """Raw denoiser logits (B, L, num_classes - 1), int8 fused path."""
     B, L = tokens.shape
     D = qp.tok_emb.shape[-1]
     H = qp.n_head
-    L_pad, block_m = _pad_plan(B, L)
+
+    if impl in ("pallas", "pallas_dense"):
+        # the hand kernels need int8-tile-aligned row blocks; attention runs
+        # in-kernel on the flat (M, D) layout (pad keys masked, pad query
+        # rows dropped at the head)
+        from ...ops.attention import fused_mha
+
+        L_pad, block_m = _pad_plan(B, L)
+        dkw = dict(block_m=block_m)
+        tokens = jnp.pad(tokens, ((0, 0), (0, L_pad - L)))
+        pos = jnp.pad(qp.pos_emb, ((0, L_pad - L), (0, 0)))
+    else:
+        # XLA handles arbitrary M — no padding, no masking (mirrors the bf16
+        # path exactly; padding was measured as pure overhead here)
+        L_pad, dkw = L, {}
+        pos = qp.pos_emb
     M = B * L_pad
 
-    dense = fused_quant_dense if use_kernel else quant_dense_reference
-    dkw = dict(block_m=block_m) if use_kernel else {}
+    x = (qp.tok_emb[jnp.maximum(tokens, 0)] + pos[None]).reshape(M, D)
 
-    toks_p = jnp.pad(tokens, ((0, 0), (0, L_pad - L)))
-    pos = jnp.pad(qp.pos_emb, ((0, L_pad - L), (0, 0)))
-    x = (qp.tok_emb[jnp.maximum(toks_p, 0)] + pos[None]).reshape(M, D)
+    def heads(y):
+        return y.reshape(B, L_pad, H, D // H)
 
-    # pad keys never attend: additive -inf bias on padded self-attn columns
-    key_mask = (jnp.arange(L_pad) >= L).astype(jnp.float32) * -1e9
-    self_bias = key_mask[None, None, None, :]
+    if impl in ("pallas", "pallas_dense"):
+        # flatten the cross K/V to the kernels' (rows, D) layout once
+        s_valid = cond_kvs[0][0].shape[1]
+        kv_seq = _flatten_cond_kvs(cond_kvs, -(-s_valid // 8) * 8)
+    else:
+        s_valid = cond_kvs[0][0].shape[1]
+        kv_seq = cond_kvs
 
-    def layer_step(x, inputs):
-        lyr, (ck, cv) = inputs
-        mod1 = lyr.ada1[t].reshape(2, D)
-        mod2 = lyr.ada2[t].reshape(2, D)
+    if mods is None:
+        mods = tuple((lyr.ada1[t].reshape(2, D), lyr.ada2[t].reshape(2, D))
+                     for lyr in qp.layers)
 
-        qkv = dense(x, lyr.qkv, norm="adaln", mod=mod1, **dkw)
-        qkv = qkv.reshape(B, L_pad, 3, H, D // H)
-        y = _attend(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2], bias=self_bias)
-        x = dense(y.reshape(M, D), lyr.proj, residual=x, **dkw)
+    # python loop over UNSTACKED per-layer weights: a rolled/stacked scan
+    # would dynamic-slice each weight into a fresh HBM copy per layer
+    # (Pallas operands must be dense buffers; profiled ~0.9 ms/step)
+    if impl == "pallas":
+        from ...ops.int8_block import cross_attn_block, mlp_block, self_attn_block
 
-        q2 = dense(x, lyr.crossq, norm="adaln", mod=mod2, **dkw)
-        y = _attend(q2.reshape(B, L_pad, H, D // H), ck, cv)
-        x = dense(y.reshape(M, D), lyr.crossproj, residual=x, **dkw)
+        mlp_bm = max(bm for bm in (128, 64, 32, 16, 8) if M % bm == 0)
+        for lyr, (ck, cv), (mod1, mod2) in zip(qp.layers, kv_seq, mods):
+            x = self_attn_block(x, mod1, lyr.q, lyr.k, lyr.v, lyr.proj,
+                                batch=B, n_head=H, q_valid=L)
+            x = cross_attn_block(x, mod2, ck, cv, lyr.crossq, lyr.crossproj,
+                                 batch=B, n_head=H, kv_valid=s_valid)
+            x = mlp_block(x, lyr.ln2_mod, lyr.fc1, lyr.fc2, block_m=mlp_bm)
+    else:
+        dense = _DENSE_IMPLS[impl]
+        for lyr, (ck, cv), (mod1, mod2) in zip(qp.layers, kv_seq, mods):
+            # q/k/v share one AdaLN + quantize (in-kernel / CSE'd for xla)
+            q, k, v = dense(x, (lyr.q, lyr.k, lyr.v), norm="adaln", mod=mod1, **dkw)
+            if impl == "pallas_dense":
+                y = fused_mha(q, k, v, batch=B, n_head=H, kv_valid=L)
+            else:
+                y = _attend(heads(q), heads(k), heads(v)).reshape(M, D)
+            (x,) = dense(y, (lyr.proj,), residual=x, **dkw)
 
-        h = dense(x, lyr.fc1, norm="ln", mod=lyr.ln2_mod, act="gelu2", **dkw)
-        x = dense(h, lyr.fc2, residual=x, **dkw)
-        return x, ()
+            (q2,) = dense(x, (lyr.crossq,), norm="adaln", mod=mod2, **dkw)
+            if impl == "pallas_dense":
+                y = fused_mha(q2, ck, cv, batch=B, n_head=H, kv_valid=s_valid)
+            else:
+                y = _attend(heads(q2), ck, cv).reshape(M, D)
+            (x,) = dense(y, (lyr.crossproj,), residual=x, **dkw)
 
-    x, _ = jax.lax.scan(layer_step, x, (qp.layers, cond_kvs))
+            (h,) = dense(x, (lyr.fc1,), norm="ln", mod=lyr.ln2_mod,
+                         act="gelu2", **dkw)
+            (x,) = dense(h, (lyr.fc2,), residual=x, **dkw)
 
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -250,14 +329,20 @@ def sample_tokens_int8(
     *,
     truncation_r: float = 0.0,
     skip_step: int = 0,
-    use_kernel: Optional[bool] = None,
+    impl: Optional[str] = None,
+    use_sampler_kernel: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Int8 twin of ``process.sample_tokens_fused``: one scan over timesteps,
-    int8 fused transformer + Pallas sampler step."""
+    int8 transformer (``impl``: pallas | pallas_dense | xla | reference;
+    default: pallas block kernels on TPU, xla elsewhere) + the fused Pallas
+    sampler step (TPU) or its jnp twin (elsewhere)."""
     from .process import _timestep_plan  # shared static plan
 
-    if use_kernel is None:
-        use_kernel = jax.default_backend() == "tpu"
+    on_tpu = jax.default_backend() == "tpu"
+    if impl is None:
+        impl = "pallas" if on_tpu else "xla"
+    if use_sampler_kernel is None:
+        use_sampler_kernel = on_tpu
     K = qp.tok_emb.shape[0]  # num classes incl. MASK
     T = qp.num_timesteps
     L = qp.seq_len
@@ -268,13 +353,20 @@ def sample_tokens_int8(
     seed_base = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
     kvs = precompute_cond_kvs(qp, cond_emb)
 
+    # prefetch the AdaLN modulations for the whole timestep plan (per-step
+    # table gathers inside the scan cost extra slice fusions)
+    D = qp.tok_emb.shape[-1]
+    S = ts.shape[0]
+    mods_seq = tuple((lyr.ada1[ts].reshape(S, 2, D), lyr.ada2[ts].reshape(S, 2, D))
+                     for lyr in qp.layers)
+
     def step(carry, inputs):
         tokens, key = carry
-        (t_scalar, t_post_scalar), idx = inputs
-        logits = int8_backbone_logits(qp, tokens, t_scalar, kvs,
-                                      use_kernel=use_kernel)
+        (t_scalar, t_post_scalar), idx, mods = inputs
+        logits = int8_backbone_logits(qp, tokens, t_scalar, kvs, impl=impl,
+                                      mods=mods)
         coeffs = fs.step_coeffs(sched, t_post_scalar)
-        if use_kernel:
+        if use_sampler_kernel:
             tokens = fs.fused_p_sample(logits, tokens, coeffs, seed_base + idx,
                                        truncation_r=truncation_r)
         else:
@@ -284,5 +376,6 @@ def sample_tokens_int8(
         return (tokens, key), ()
 
     idxs = jnp.arange(ts.shape[0], dtype=jnp.int32)
-    (tokens, _), _ = jax.lax.scan(step, (tokens, key), ((ts, t_post), idxs))
+    (tokens, _), _ = jax.lax.scan(step, (tokens, key),
+                                  ((ts, t_post), idxs, mods_seq))
     return tokens

@@ -40,6 +40,8 @@ __all__ = [
     "QuantizedWeight",
     "quantize_weight",
     "fused_quant_dense",
+    "fused_quant_dense_multi",
+    "quant_dense_xla",
     "quant_dense_reference",
 ]
 
@@ -176,6 +178,138 @@ def fused_quant_dense(
         ),
         interpret=interpret,
     )(x, mod, w.w_q, w.scale, w.bias, residual)
+
+
+def _kernel_multi(x_ref, mod_ref, *rest, norm: str, act: str, n_w: int,
+                  use_residual: bool):
+    w_refs = rest[:n_w]
+    scale_refs = rest[n_w:2 * n_w]
+    bias_refs = rest[2 * n_w:3 * n_w]
+    res_ref = rest[3 * n_w] if use_residual else None
+    out_refs = rest[3 * n_w + (1 if use_residual else 0):]
+
+    x = x_ref[:, :].astype(jnp.float32)
+    h = _prologue(x, mod_ref[0:1, :].astype(jnp.float32),
+                  mod_ref[1:2, :].astype(jnp.float32), norm)
+    q, s = _quantize_rows(h)
+    for i in range(n_w):
+        acc = jnp.dot(q, w_refs[i][:, :], preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * (s * scale_refs[i][0:1, :]) + bias_refs[i][0:1, :]
+        if act == "gelu2":
+            y = _gelu2(y)
+        if use_residual:
+            y = y + res_ref[:, :].astype(jnp.float32)
+        out_refs[i][:, :] = y.astype(out_refs[i].dtype)
+
+
+def fused_quant_dense_multi(
+    x: jnp.ndarray,                       # (M, K) bf16/f32, M % block_m == 0
+    ws,                                   # sequence of QuantizedWeight (K, N_i)
+    *,
+    norm: str = "none",
+    mod: Optional[jnp.ndarray] = None,
+    act: str = "none",
+    residual: Optional[jnp.ndarray] = None,    # (M, N) — requires equal N_i
+    block_m: int = 128,
+    out_dtype: jnp.dtype = jnp.bfloat16,
+    interpret: bool = False,
+):
+    """V2 kernel: one (norm -> quantize) prologue feeding SEVERAL int8 dots.
+
+    Design (from the v1 post-mortem, tools/bench_int8_micro.py + HLO study):
+    - grid over M only; every weight block maps to (0, 0) so Mosaic keeps the
+      full (K, N_i) weights VMEM-resident across programs instead of
+      re-streaming them per row-block (v1's bandwidth bound);
+    - the prologue runs once per row-block (v1 redid it per N-tile);
+    - multiple outputs share the quantized activation — q/k/v cost one
+      quantize instead of three (and XLA's per-dense s8 relayout copies,
+      which its int8 dot layout forces, never happen: Mosaic owns the tiling).
+
+    Returns a tuple of (M, N_i) arrays (single element if one weight).
+    """
+    M, K = x.shape
+    ws = tuple(ws)
+    n_w = len(ws)
+    assert M % block_m == 0, (M, block_m)
+    if norm == "ln" and mod is None:
+        raise ValueError("norm='ln' requires mod = (gamma, beta) rows")
+    if mod is None:
+        mod = jnp.zeros((2, K), jnp.float32)
+    use_residual = residual is not None
+    if use_residual and any(w.w_q.shape[1] != ws[0].w_q.shape[1] for w in ws):
+        raise ValueError("residual requires equal output widths")
+
+    grid = (M // block_m,)
+    in_specs = [
+        pl.BlockSpec((block_m, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, K), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x, mod]
+    for w in ws:
+        in_specs.append(pl.BlockSpec(w.w_q.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(w.w_q)
+    for w in ws:
+        in_specs.append(pl.BlockSpec(w.scale.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(w.scale)
+    for w in ws:
+        in_specs.append(pl.BlockSpec(w.bias.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(w.bias)
+    if use_residual:
+        in_specs.append(pl.BlockSpec((block_m, residual.shape[1]),
+                                     lambda i: (i, 0), memory_space=pltpu.VMEM))
+        args.append(residual)
+
+    out_shape = tuple(jax.ShapeDtypeStruct((M, w.w_q.shape[1]), out_dtype)
+                      for w in ws)
+    out_specs = tuple(pl.BlockSpec((block_m, w.w_q.shape[1]), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM) for w in ws)
+
+    outs = pl.pallas_call(
+        partial(_kernel_multi, norm=norm, act=act, n_w=n_w,
+                use_residual=use_residual),
+        out_shape=out_shape,
+        grid_spec=pl.GridSpec(grid=grid, in_specs=in_specs, out_specs=out_specs),
+        interpret=interpret,
+    )(*args)
+    return outs
+
+
+def quant_dense_xla(
+    x: jnp.ndarray,
+    w: QuantizedWeight,
+    *,
+    norm: str = "none",
+    mod: Optional[jnp.ndarray] = None,
+    act: str = "none",
+    residual: Optional[jnp.ndarray] = None,
+    out_dtype: jnp.dtype = jnp.bfloat16,
+) -> jnp.ndarray:
+    """The production int8 path: same math as the kernel, but expressed as XLA
+    ops with an int8 x int8 -> int32 ``jnp.dot``.
+
+    Measured on v5e-1 (tools/bench_int8_micro.py, denoiser shapes): XLA fuses
+    the per-row quantize into the producer and the dequant/activation into the
+    consumer, sustaining 223-412 int8 TOP/s = 1.5-2.8x the bf16 matmul —
+    *faster* than the hand-written Pallas kernel (whose f32 VPU prologue/
+    epilogue does not pipeline against the MXU at these block sizes). Bit-
+    identical to ``quant_dense_reference``.
+    """
+    if norm == "ln" and mod is None:
+        raise ValueError("norm='ln' requires mod = (gamma, beta) rows")
+    if mod is None:
+        mod = jnp.zeros((2, x.shape[-1]), jnp.float32)
+    h = _prologue(x.astype(jnp.float32), mod[0:1], mod[1:2], norm)
+    q, s = _quantize_rows(h)
+    acc = jnp.dot(q, w.w_q, preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (s * w.scale) + w.bias
+    if act == "gelu2":
+        y = _gelu2(y)
+    if residual is not None:
+        y = y + residual.astype(jnp.float32)
+    return y.astype(out_dtype)
 
 
 def quant_dense_reference(

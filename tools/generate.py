@@ -38,6 +38,9 @@ def get_args():
     p.add_argument("--outdir", default="samples")
     p.add_argument("--replicate", type=int, default=2)
     p.add_argument("--sample_type", default="top0.85r")
+    p.add_argument("--int8", action="store_true",
+                   help="serve the denoiser through the W8A8 int8 engine "
+                        "(models/diffusion/int8_runtime) — ~1.7x faster on TPU")
     p.add_argument("--batch", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
@@ -96,9 +99,17 @@ def main():
     os.makedirs(args.outdir, exist_ok=True)
     key = jax.random.PRNGKey(args.seed)
 
-    @jax.jit
-    def run(params, key, cond_tokens):
-        return model.generate(params, key, cond_tokens, sample_type=args.sample_type)
+    if args.int8:
+        qp = model.quantize_for_serving(params)
+
+        @jax.jit
+        def run(params, key, cond_tokens):
+            return model.generate_int8(params, qp, key, cond_tokens,
+                                       sample_type=args.sample_type)
+    else:
+        @jax.jit
+        def run(params, key, cond_tokens):
+            return model.generate(params, key, cond_tokens, sample_type=args.sample_type)
 
     for start in range(0, len(rows), args.batch):
         chunk = rows[start : start + args.batch]
