@@ -2,9 +2,14 @@
 
 BASELINE config 4: "Diffsound 100-step discrete diffusion sampling, batch 8
 AudioCaps captions" — the full production pipeline minus host text BPE:
-flagship denoiser (19L x 1024d, bf16 activations) driven through the fused
+flagship denoiser (19L x 1024d) served through the W8A8 int8 engine
+(models/diffusion/int8_runtime.py — block-fused Pallas kernels; the TPU
+analogue of serving the reference through TensorRT int8) driven by the fused
 100-step ``lax.scan`` reverse sampler with top-0.85r truncation, followed by the
 VQGAN decode to an 80x848 mel. Random weights (throughput is weight-agnostic).
+Accuracy of the int8 engine vs the bf16 model is gated by
+tests/test_int8_runtime.py; kernel-vs-oracle exactness by tests/test_quant.py
+and tests/test_int8_blocks.py. ``BENCH_BF16=1`` benches the bf16 path instead.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -18,6 +23,7 @@ with a Python-loop sampler (~30% effective utilization + launch overhead)
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -32,6 +38,10 @@ def main() -> None:
     import jax.numpy as jnp
 
     from text_to_sound_synthesis_tpu.models.diffusion import DiscreteDiffusion
+    from text_to_sound_synthesis_tpu.models.diffusion.int8_runtime import (
+        quantize_denoiser,
+        sample_tokens_int8,
+    )
     from text_to_sound_synthesis_tpu.models.diffusion.process import (
         sample_tokens_fused,
     )
@@ -74,15 +84,39 @@ def main() -> None:
     # an expensive random-init compile.
     dshapes = jax.eval_shape(lambda: denoiser.init(k1, tokens0, cond0, jnp.zeros((1,), jnp.int32)))
     cshapes = jax.eval_shape(lambda: codec.init(k2, jnp.zeros((1, 80, 848, 1))))
-    mk = lambda s: jnp.zeros(s.shape, s.dtype)
+    # small random values, not zeros: zero weights would quantize to degenerate
+    # int8 scales and unrepresentative value distributions
+    cnt = [0]
+
+    def mk(s):
+        cnt[0] += 1
+        return (jax.random.normal(jax.random.PRNGKey(cnt[0]), s.shape,
+                                  jnp.float32) * 0.02).astype(s.dtype)
+
     dparams = jax.tree_util.tree_map(mk, dshapes)
     cparams = jax.tree_util.tree_map(mk, cshapes)
     print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
 
+    use_bf16 = bool(int(os.environ.get("BENCH_BF16", "0")))
+    if use_bf16:
+        weights = dparams
+
+        def sample(weights, key, cond_emb):
+            return sample_tokens_fused(denoiser, weights, key, cond_emb,
+                                       truncation_r=0.85)
+    else:
+        weights = jax.device_put(
+            quantize_denoiser(dparams, n_head=16, seq_len=265,
+                              num_timesteps=STEPS))
+        sched = denoiser.schedule()
+
+        def sample(weights, key, cond_emb):
+            return sample_tokens_int8(weights, sched, key, cond_emb,
+                                      truncation_r=0.85)
+
     @jax.jit
-    def generate(dparams, cparams, key, cond_emb):
-        toks = sample_tokens_fused(denoiser, dparams, key, cond_emb,
-                                   truncation_r=0.85)
+    def generate(weights, cparams, key, cond_emb):
+        toks = sample(weights, key, cond_emb)
         grid = toks.reshape(-1, 53, 5).swapaxes(1, 2)  # reverse ColumnMajor
         return codec.apply(cparams, grid, method=codec.decode_code)
 
@@ -92,7 +126,7 @@ def main() -> None:
     import numpy as np
 
     t0 = time.time()
-    full = generate(dparams, cparams, jax.random.PRNGKey(1), cond)
+    full = generate(weights, cparams, jax.random.PRNGKey(1), cond)
     _ = np.asarray(full[0, :2, :2, 0])
     print(f"compile+first run: {time.time() - t0:.1f}s; mel {full.shape}", file=sys.stderr)
 
@@ -102,7 +136,7 @@ def main() -> None:
     # the chip.
     t0 = time.time()
     for i in range(TIMED_ITERS):
-        out = generate(dparams, cparams, jax.random.PRNGKey(2 + i), cond)
+        out = generate(weights, cparams, jax.random.PRNGKey(2 + i), cond)
         _ = np.asarray(out[0, :2, :2, 0])
     elapsed = time.time() - t0
 

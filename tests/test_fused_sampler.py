@@ -136,3 +136,28 @@ def test_sampler_deterministic_given_key(rng):
                             truncation_r=0.85, use_kernel=False)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_fused_head_sample_matches_reference(setup, rng):
+    """LN+head+sampler kernel (interpret) == the jnp oracle's posterior."""
+    sched, _, xt = setup
+    D = 32
+    M = B * L
+    x = jnp.asarray(rng.standard_normal((M, D)).astype(np.float32)).astype(jnp.bfloat16)
+    norm = jnp.asarray(np.stack([rng.random(D) + 0.5, rng.standard_normal(D) * 0.1]),
+                       jnp.float32)
+    hw = jnp.asarray(rng.standard_normal((D, K - 1)) * 0.2, jnp.bfloat16)
+    hb = jnp.asarray(rng.standard_normal(K - 1) * 0.1, jnp.float32)
+    coeffs = fs.step_coeffs(sched, jnp.asarray(3))
+    xt_flat = xt.reshape(M, 1)
+
+    _, want = fs.head_sample_reference(x, xt_flat[:, 0], norm, hw, hb, coeffs,
+                                       jax.random.PRNGKey(0), truncation_r=0.85)
+    with pltpu.force_tpu_interpret_mode():
+        tokens, got = fs.fused_head_sample(
+            x, xt_flat, norm, hw, hb, coeffs, jnp.asarray(7, jnp.int32),
+            truncation_r=0.85, row_block=5, return_log_probs=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)
+    arr = np.asarray(tokens)
+    assert arr.shape == (M,)
+    assert ((arr >= 0) & (arr < K)).all()

@@ -226,7 +226,7 @@ _DENSE_IMPLS = {
 # boundaries per layer instead of 8 — the production serving path.
 
 
-def int8_backbone_logits(
+def _int8_backbone_hidden(
     qp: Int8Denoiser,
     tokens: jnp.ndarray,            # (B, L) int32
     t: jnp.ndarray,                 # scalar int32 (shared across batch)
@@ -237,8 +237,8 @@ def int8_backbone_logits(
                                     # modulations for this t, prefetched by
                                     # the sampler; defaults to per-layer
                                     # table gathers
-) -> jnp.ndarray:
-    """Raw denoiser logits (B, L, num_classes - 1), int8 fused path."""
+):
+    """Pre-head backbone activations: returns (x (B*L_pad, D), L_pad)."""
     B, L = tokens.shape
     D = qp.tok_emb.shape[-1]
     H = qp.n_head
@@ -312,6 +312,22 @@ def int8_backbone_logits(
                          act="gelu2", **dkw)
             (x,) = dense(h, (lyr.fc2,), residual=x, **dkw)
 
+    return x, L_pad
+
+
+def int8_backbone_logits(
+    qp: Int8Denoiser,
+    tokens: jnp.ndarray,            # (B, L) int32
+    t: jnp.ndarray,                 # scalar int32 (shared across batch)
+    cond_kvs,                       # from precompute_cond_kvs
+    *,
+    impl: str = "xla",
+    mods=None,
+) -> jnp.ndarray:
+    """Raw denoiser logits (B, L, num_classes - 1), int8 fused path."""
+    B, L = tokens.shape
+    x, L_pad = _int8_backbone_hidden(qp, tokens, t, cond_kvs, impl=impl,
+                                     mods=mods)
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
@@ -363,9 +379,20 @@ def sample_tokens_int8(
     def step(carry, inputs):
         tokens, key = carry
         (t_scalar, t_post_scalar), idx, mods = inputs
+        coeffs = fs.step_coeffs(sched, t_post_scalar)
+        if use_sampler_kernel and impl in ("pallas", "pallas_dense"):
+            # fully fused tail: final LN + head matmul + sampler in one kernel
+            # (the (M, K) logits never visit HBM)
+            x, L_pad = _int8_backbone_hidden(qp, tokens, t_scalar, kvs,
+                                             impl=impl, mods=mods)
+            xt = jnp.pad(tokens, ((0, 0), (0, L_pad - L))).reshape(-1, 1)
+            nxt = fs.fused_head_sample(x, xt, qp.norm_out, qp.head_w,
+                                       qp.head_b, coeffs, seed_base + idx,
+                                       truncation_r=truncation_r)
+            tokens = nxt.reshape(B, L_pad)[:, :L]
+            return (tokens, key), ()
         logits = int8_backbone_logits(qp, tokens, t_scalar, kvs, impl=impl,
                                       mods=mods)
-        coeffs = fs.step_coeffs(sched, t_post_scalar)
         if use_sampler_kernel:
             tokens = fs.fused_p_sample(logits, tokens, coeffs, seed_base + idx,
                                        truncation_r=truncation_r)

@@ -33,7 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .diffusion import LOG_EPS, MIN_LOGP, DiffusionSchedule
 
-__all__ = ["StepCoeffs", "step_coeffs", "p_sample_from_indices", "fused_p_sample"]
+__all__ = ["StepCoeffs", "step_coeffs", "p_sample_from_indices", "fused_p_sample",
+           "fused_head_sample", "head_sample_reference"]
 
 _BISECT_ITERS = 24
 
@@ -159,16 +160,15 @@ def p_sample_from_indices(
 # Pallas kernel
 # ---------------------------------------------------------------------------
 
-def _kernel(seed_ref, coef_ref, logits_ref, xt_ref, out_ref, probs_ref, *, K: int,
-            Kpad: int, r: float):
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    c = StepCoeffs(*[coef_ref[i] for i in range(10)])
-
-    rows = logits_ref.shape[0]
+def _sampler_body(logits, xt, c: StepCoeffs, *, K: int, Kpad: int, r: float):
+    """Shared in-kernel math: raw logits tile (rows, Kpad) f32 + current token
+    indices (rows, 1) -> (next tokens (rows, 1) int32, posterior (rows, Kpad)).
+    The caller must have seeded the per-core PRNG."""
+    rows = logits.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, Kpad), 1)
     valid = col < K - 1  # real (non-mask, non-pad) logit columns
 
-    x = jnp.where(valid, logits_ref[:, :].astype(jnp.float32), -jnp.inf)
+    x = jnp.where(valid, logits, -jnp.inf)
     m = jnp.max(x, axis=-1, keepdims=True)
     lse = m + jnp.log(jnp.sum(jnp.where(valid, jnp.exp(x - m), 0.0), axis=-1,
                               keepdims=True))
@@ -195,10 +195,8 @@ def _kernel(seed_ref, coef_ref, logits_ref, xt_ref, out_ref, probs_ref, *, K: in
     in_k = col < K
     # pad columns must vanish from the posterior's logsumexp: -inf, not -70
     lp_post = jnp.where(in_k, lp, -jnp.inf)
-    xt = xt_ref[:, :]  # (rows, 1)
     post = _posterior_rows(lp_post, xt, c, K, col)
     post = jnp.where(in_k, post, -jnp.inf)
-    probs_ref[:, :] = post
 
     bits = pltpu.bitcast(pltpu.prng_random_bits((rows, Kpad)), jnp.uint32)
     # Mosaic lacks uint32->f32 casts; >>8 fits in non-negative int32 first
@@ -206,7 +204,18 @@ def _kernel(seed_ref, coef_ref, logits_ref, xt_ref, out_ref, probs_ref, *, K: in
     u = mant * (1.0 / (1 << 24))
     g = -jnp.log(-jnp.log(u + 1e-30) + 1e-30)
     scores = jnp.where(in_k, post + g, -jnp.inf)
-    out_ref[:, :] = jnp.argmax(scores, axis=-1, keepdims=True).astype(jnp.int32)
+    tokens = jnp.argmax(scores, axis=-1, keepdims=True).astype(jnp.int32)
+    return tokens, post
+
+
+def _kernel(seed_ref, coef_ref, logits_ref, xt_ref, out_ref, probs_ref, *, K: int,
+            Kpad: int, r: float):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    c = StepCoeffs(*[coef_ref[i] for i in range(10)])
+    tokens, post = _sampler_body(logits_ref[:, :].astype(jnp.float32),
+                                 xt_ref[:, :], c, K=K, Kpad=Kpad, r=r)
+    probs_ref[:, :] = post
+    out_ref[:, :] = tokens
 
 
 def fused_p_sample(
@@ -261,3 +270,113 @@ def fused_p_sample(
     if return_log_probs:
         return tokens, probs[:R, :K].reshape(B, L, K)
     return tokens
+
+
+# ---------------------------------------------------------------------------
+# fused final-LN + head matmul + sampler step (int8 serving path)
+# ---------------------------------------------------------------------------
+
+def _head_kernel(seed_ref, coef_ref, x_ref, xt_ref, ln_ref, hw_ref, hb_ref,
+                 out_ref, *maybe_probs, K: int, Kpad: int, r: float):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    c = StepCoeffs(*[coef_ref[i] for i in range(10)])
+
+    xf = x_ref[:, :].astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + 1e-6)
+    xn = xn * ln_ref[0:1, :].astype(jnp.float32) + ln_ref[1:2, :].astype(jnp.float32)
+    logits = jnp.dot(xn.astype(jnp.bfloat16), hw_ref[:, :],
+                     preferred_element_type=jnp.float32) + hb_ref[0:1, :]
+
+    tokens, post = _sampler_body(logits, xt_ref[:, :], c, K=K, Kpad=Kpad, r=r)
+    out_ref[:, :] = tokens
+    if maybe_probs:
+        maybe_probs[0][:, :] = post
+
+
+def fused_head_sample(
+    x: jnp.ndarray,            # (M, D) bf16 — final backbone activations
+    xt: jnp.ndarray,           # (M, 1) int32 current tokens (pad rows arbitrary)
+    norm_out: jnp.ndarray,     # (2, D) f32 — final LayerNorm gamma; beta
+    head_w: jnp.ndarray,       # (D, K-1) bf16
+    head_b: jnp.ndarray,       # (K-1,) f32
+    coeffs: StepCoeffs,
+    seed: jnp.ndarray,         # scalar int32 (vary per step!)
+    *,
+    truncation_r: float = 0.0,
+    row_block: int | None = None,
+    interpret: bool = False,
+    return_log_probs: bool = False,
+) -> jnp.ndarray:
+    """One kernel for the whole tail of a sampler step: final LayerNorm ->
+    logits head -> log-softmax/truncation/posterior/Gumbel-argmax.
+
+    Replaces (XLA LN + head matmul + ``fused_p_sample``) in the int8 serving
+    path — the (M, K) logits never visit HBM. Semantics == LN + head +
+    ``p_sample_from_indices`` (oracle ``head_sample_reference``); rows are
+    whatever padded layout the caller uses (pad rows produce garbage tokens the
+    caller drops).
+    """
+    M, D = x.shape
+    Km1 = head_w.shape[1]
+    K = Km1 + 1
+    Kpad = -(-K // 128) * 128
+    if row_block is None:
+        row_block = max(rb for rb in (544, 512, 272, 256, 136, 128, 64, 32, 16, 8)
+                        if M % rb == 0)
+    assert M % row_block == 0, (M, row_block)
+
+    hw = jnp.pad(head_w.astype(jnp.bfloat16), ((0, 0), (0, Kpad - Km1)))
+    hb = jnp.pad(head_b.astype(jnp.float32), (0, Kpad - Km1)).reshape(1, Kpad)
+
+    rowspec = lambda w: pl.BlockSpec((row_block, w), lambda i, *_: (i, 0),
+                                     memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((M, 1), jnp.int32)]
+    out_specs = [rowspec(1)]
+    if return_log_probs:
+        out_shape.append(jax.ShapeDtypeStruct((M, Kpad), jnp.float32))
+        out_specs.append(rowspec(Kpad))
+
+    outs = pl.pallas_call(
+        partial(_head_kernel, K=K, Kpad=Kpad, r=truncation_r),
+        out_shape=tuple(out_shape),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,   # seed, coeffs
+            grid=(M // row_block,),
+            in_specs=[
+                rowspec(D),
+                rowspec(1),
+                pl.BlockSpec((2, D), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((D, Kpad), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Kpad), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=tuple(out_specs),
+        ),
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), coeffs.as_array().astype(jnp.float32),
+      x.astype(jnp.bfloat16), xt.astype(jnp.int32), norm_out.astype(jnp.float32),
+      hw, hb)
+    if return_log_probs:
+        return outs[0][:, 0], outs[1][:, :K]
+    return outs[0][:, 0]
+
+
+def head_sample_reference(x, xt, norm_out, head_w, head_b, coeffs, key, *,
+                          truncation_r: float = 0.0):
+    """jnp oracle for ``fused_head_sample`` (same math, jax.random Gumbel):
+    returns (tokens (M,), posterior log-probs (M, K))."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + 1e-6)
+    xn = xn * norm_out[0] + norm_out[1]
+    logits = jnp.dot(xn.astype(jnp.bfloat16), head_w.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32) + head_b
+    toks, post = p_sample_from_indices(
+        logits[None], xt.reshape(1, -1), coeffs, key,
+        truncation_r=truncation_r, return_log_probs=True)
+    return toks[0], post[0]

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Device-trace budget for the int8 sampler: run a few steps under
+``jax.profiler.trace`` and aggregate per-kernel device time from the exported
+Chrome-trace JSON (no tensorboard/tensorflow needed).
+
+Usage: python tools/trace_int8.py [steps=20] [impl=pallas]
+Prints total device time per kernel name (top 25) for ONE sampler invocation.
+"""
+
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+BATCH = 8
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    impl = sys.argv[2] if len(sys.argv) > 2 else "pallas"
+
+    import jax
+    import jax.numpy as jnp
+
+    from text_to_sound_synthesis_tpu.models.diffusion import DiscreteDiffusion
+    from text_to_sound_synthesis_tpu.models.diffusion.int8_runtime import (
+        quantize_denoiser,
+        sample_tokens_int8,
+    )
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    except Exception:
+        pass
+
+    denoiser = DiscreteDiffusion(
+        transformer_config={
+            "params": dict(
+                n_layer=19, n_embd=1024, n_head=16, content_seq_len=265,
+                condition_dim=512, content_spatial_size=(5, 53),
+                block_activate="GELU2",
+            )
+        },
+        content_emb_config={"params": dict(num_embed=256, embed_dim=1024,
+                                           spatial_size=(5, 53))},
+        diffusion_step=steps,
+        dtype=jnp.bfloat16,
+    )
+    key = jax.random.PRNGKey(0)
+    dshapes = jax.eval_shape(lambda: denoiser.init(
+        key, jnp.zeros((1, 265), jnp.int32), jnp.zeros((1, 77, 512), jnp.float32),
+        jnp.zeros((1,), jnp.int32)))
+    cnt = [0]
+
+    def mk(s):
+        cnt[0] += 1
+        return (jax.random.normal(jax.random.PRNGKey(cnt[0]), s.shape, jnp.float32)
+                * 0.02).astype(s.dtype)
+
+    dparams = jax.tree_util.tree_map(mk, dshapes)
+    qp = jax.device_put(quantize_denoiser(dparams, n_head=16, seq_len=265,
+                                          num_timesteps=steps))
+    sched = denoiser.schedule()
+    cond = jax.random.normal(jax.random.PRNGKey(7), (BATCH, 77, 512), jnp.float32)
+    cond = cond / jnp.linalg.norm(cond, axis=-1, keepdims=True)
+
+    @jax.jit
+    def run(qp, key, cond):
+        return sample_tokens_int8(qp, sched, key, cond, truncation_r=0.85,
+                                  impl=impl)
+
+    t0 = time.time()
+    out = run(qp, jax.random.PRNGKey(1), cond)
+    _ = np.asarray(out[0, :2])
+    print(f"compile+first {time.time() - t0:.1f}s", file=sys.stderr)
+
+    log_dir = "/tmp/t2s_trace"
+    os.system(f"rm -rf {log_dir}")
+    with jax.profiler.trace(log_dir):
+        out = run(qp, jax.random.PRNGKey(2), cond)
+        _ = np.asarray(out[0, :2])
+
+    files = sorted(glob.glob(f"{log_dir}/**/*.trace.json.gz", recursive=True),
+                   key=os.path.getmtime)
+    if not files:
+        print("no trace produced", file=sys.stderr)
+        sys.exit(1)
+    with gzip.open(files[-1], "rt") as f:
+        trace = json.load(f)
+
+    # device-stream complete events only (pid/tid naming differs by backend;
+    # heuristically keep events with 'dur' whose names look like kernels)
+    per_kernel = defaultdict(float)
+    counts = defaultdict(int)
+    total = 0.0
+    pids_by_name = {}
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pids_by_name[ev["pid"]] = ev.get("args", {}).get("name", "")
+    dev_pids = {p for p, n in pids_by_name.items()
+                if "TPU" in n or "/device" in n.lower() or "XLA" in n}
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") != "X" or "dur" not in ev:
+            continue
+        if dev_pids and ev.get("pid") not in dev_pids:
+            continue
+        name = ev.get("name", "?")
+        per_kernel[name] += ev["dur"]
+        counts[name] += 1
+        total += ev["dur"]
+
+    print(f"\ntrace file: {files[-1]}")
+    print(f"total device event time: {total/1e3:.2f} ms over {steps} steps "
+          f"({total/1e3/steps:.3f} ms/step)\n")
+    rows = sorted(per_kernel.items(), key=lambda kv: -kv[1])[:25]
+    for name, us in rows:
+        print(f"{us/1e3:9.3f} ms  {us/steps:8.1f} us/step  x{counts[name]:<5d} {name[:90]}")
+
+
+if __name__ == "__main__":
+    main()
