@@ -95,3 +95,21 @@ def test_multi_dense_matches_single(data):
     for w, got in zip(ws, outs):
         want = quant_dense_reference(x, w, norm="adaln", mod=mod)
         _close(got, want)
+
+
+def test_attn_pair_block(data):
+    """Merged self+cross kernel == the two single-block oracles composed."""
+    x, mod = data
+    mod2 = jnp.stack([jax.random.normal(jax.random.PRNGKey(21), (D,)) * 0.2,
+                      jax.random.normal(jax.random.PRNGKey(22), (D,)) * 0.2])
+    mods = jnp.concatenate([mod, mod2], axis=0)
+    ws = [_qw(i, D, D) for i in (31, 32, 33, 34, 35, 36)]
+    ck = jax.random.normal(jax.random.PRNGKey(23), (B * Skv, D), jnp.bfloat16)
+    cv = jax.random.normal(jax.random.PRNGKey(24), (B * Skv, D), jnp.bfloat16)
+    got = IB.attn_pair_block(x, mods, ck, cv, *ws, batch=B, n_head=H,
+                             q_valid=Lp - 3, kv_valid=Skv - 2, interpret=True)
+    want = IB.attn_pair_block_reference(x, mods, ck, cv, *ws, batch=B, n_head=H,
+                                        q_valid=Lp - 3, kv_valid=Skv - 2)
+    g = np.asarray(got, np.float32).reshape(B, Lp, D)[:, :Lp - 3]
+    w = np.asarray(want, np.float32).reshape(B, Lp, D)[:, :Lp - 3]
+    np.testing.assert_allclose(g, w, rtol=3e-2, atol=3e-2)

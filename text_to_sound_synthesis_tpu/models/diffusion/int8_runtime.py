@@ -281,15 +281,33 @@ def _int8_backbone_hidden(
     # would dynamic-slice each weight into a fresh HBM copy per layer
     # (Pallas operands must be dense buffers; profiled ~0.9 ms/step)
     if impl == "pallas":
-        from ...ops.int8_block import cross_attn_block, mlp_block, self_attn_block
+        from ...ops.int8_block import (
+            attn_pair_block,
+            cross_attn_block,
+            mlp_block,
+            self_attn_block,
+        )
 
-        mlp_bm = max(bm for bm in (128, 64, 32, 16, 8) if M % bm == 0)
+        import os as _os
+
+        _bm_pref = int(_os.environ.get("T2S_MLP_BM", "272"))
+        mlp_bm = max(bm for bm in (_bm_pref, 128, 64, 32, 16, 8) if M % bm == 0)
+        # A/B'd on v5e-1 (CLAUDE.md round-2 ledger): split kernels 6183
+        # us/step vs merged 6287 — boundaries are free, keep the split
+        pair = _os.environ.get("T2S_ATTN_PAIR", "0") == "1"
         for lyr, (ck, cv), (mod1, mod2) in zip(qp.layers, kv_seq, mods):
-            x = self_attn_block(x, mod1, lyr.q, lyr.k, lyr.v, lyr.proj,
-                                batch=B, n_head=H, q_valid=L)
-            x = cross_attn_block(x, mod2, ck, cv, lyr.crossq, lyr.crossproj,
-                                 batch=B, n_head=H, kv_valid=s_valid)
-            x = mlp_block(x, lyr.ln2_mod, lyr.fc1, lyr.fc2, block_m=mlp_bm)
+            if pair:
+                x = attn_pair_block(
+                    x, jnp.concatenate([mod1, mod2], axis=0), ck, cv,
+                    lyr.q, lyr.k, lyr.v, lyr.proj, lyr.crossq, lyr.crossproj,
+                    batch=B, n_head=H, q_valid=L, kv_valid=s_valid)
+            else:
+                x = self_attn_block(x, mod1, lyr.q, lyr.k, lyr.v, lyr.proj,
+                                    batch=B, n_head=H, q_valid=L)
+                x = cross_attn_block(x, mod2, ck, cv, lyr.crossq, lyr.crossproj,
+                                     batch=B, n_head=H, kv_valid=s_valid)
+            x = mlp_block(x, lyr.ln2_mod, lyr.fc1, lyr.fc2, block_m=mlp_bm,
+                          pipeline_halves=_os.environ.get("T2S_MLP_PIPE", "0") == "1")
     else:
         dense = _DENSE_IMPLS[impl]
         for lyr, (ck, cv), (mod1, mod2) in zip(qp.layers, kv_seq, mods):

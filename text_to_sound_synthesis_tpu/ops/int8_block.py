@@ -41,9 +41,11 @@ from .quant import QuantizedWeight, _gelu2, _prologue, _quantize_rows
 __all__ = [
     "self_attn_block",
     "cross_attn_block",
+    "attn_pair_block",
     "mlp_block",
     "self_attn_block_reference",
     "cross_attn_block_reference",
+    "attn_pair_block_reference",
     "mlp_block_reference",
 ]
 
@@ -56,7 +58,12 @@ def _int8_dot(q, w_ref):
     return jnp.dot(q, w_ref[:, :], preferred_element_type=jnp.int32)
 
 
-def _mha_inline(q, k, v, n_head: int, kv_valid: int, head_group: int = 8):
+import os as _os
+
+_HEAD_GROUP = int(_os.environ.get("T2S_HEAD_GROUP", "8"))
+
+
+def _mha_inline(q, k, v, n_head: int, kv_valid: int, head_group: int = _HEAD_GROUP):
     """(Lq, D) x (Lkv, D) f32/bf16 -> (Lq, D) f32. Head scores are stacked
     along rows in groups of ``head_group`` so the softmax runs on full
     128-lane rows while the f32 score buffer stays within VMEM."""
@@ -180,23 +187,111 @@ def cross_attn_block(x, mod, ck, cv, wq, wproj, *, batch: int, n_head: int,
 
 
 # ---------------------------------------------------------------------------
+# merged self+cross attention block (one kernel per layer's attention half)
+# ---------------------------------------------------------------------------
+
+def _attn_pair_kernel(x_ref, mods_ref, ck_ref, cv_ref,
+                      wq_ref, wk_ref, wv_ref, wp_ref, cq_ref, cp_ref,
+                      sq_ref, sk_ref, sv_ref, sp_ref, scq_ref, scp_ref,
+                      bq_ref, bk_ref, bv_ref, bp_ref, bcq_ref, bcp_ref,
+                      out_ref, *, n_head: int, q_valid: int, kv_valid: int):
+    x = x_ref[:, :].astype(jnp.float32)
+    # self-attention sub-block
+    h = _prologue(x, mods_ref[0:1, :].astype(jnp.float32),
+                  mods_ref[1:2, :].astype(jnp.float32), "adaln")
+    qx, s = _quantize_rows(h)
+    q = _deq(_int8_dot(qx, wq_ref), s, sq_ref, bq_ref).astype(jnp.bfloat16)
+    k = _deq(_int8_dot(qx, wk_ref), s, sk_ref, bk_ref).astype(jnp.bfloat16)
+    v = _deq(_int8_dot(qx, wv_ref), s, sv_ref, bv_ref).astype(jnp.bfloat16)
+    y = _mha_inline(q, k, v, n_head, q_valid).astype(jnp.bfloat16)
+    qy, sy = _quantize_rows(y.astype(jnp.float32))
+    x = _deq(_int8_dot(qy, wp_ref), sy, sp_ref, bp_ref) + x
+    # cross-attention sub-block (x never leaves VMEM between the two)
+    h2 = _prologue(x, mods_ref[2:3, :].astype(jnp.float32),
+                   mods_ref[3:4, :].astype(jnp.float32), "adaln")
+    q2x, s2 = _quantize_rows(h2)
+    q2 = _deq(_int8_dot(q2x, cq_ref), s2, scq_ref, bcq_ref).astype(jnp.bfloat16)
+    y2 = _mha_inline(q2, ck_ref[:, :], cv_ref[:, :], n_head, kv_valid)
+    qy2, sy2 = _quantize_rows(y2.astype(jnp.bfloat16).astype(jnp.float32))
+    x = _deq(_int8_dot(qy2, cp_ref), sy2, scp_ref, bcp_ref) + x
+    out_ref[:, :] = x.astype(out_ref.dtype)
+
+
+def attn_pair_block(x, mods, ck, cv, wq, wk, wv, wproj, wcrossq, wcrossproj, *,
+                    batch: int, n_head: int, q_valid: int, kv_valid: int,
+                    interpret: bool = False):
+    """Self-attention + cross-attention sub-blocks fused into ONE kernel.
+
+    x (B*Lp, D) bf16; mods (4, D) f32 = [self scale; self shift; cross scale;
+    cross shift] AdaLN modulations; ck/cv (B*Skv, D) bf16 flat cond K/V.
+    Equivalent to ``cross_attn_block(self_attn_block(x, ...), ...)`` with one
+    kernel boundary and one HBM round-trip of x instead of two.
+    """
+    M, D = x.shape
+    Lp = M // batch
+    Skv = ck.shape[0] // batch
+    vec = pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    mat = pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((Lp, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    kvrow = pl.BlockSpec((Skv, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_attn_pair_kernel, n_head=n_head, q_valid=q_valid,
+                kv_valid=kv_valid),
+        out_shape=jax.ShapeDtypeStruct((M, D), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(batch,),
+            in_specs=[row,
+                      pl.BlockSpec((4, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                      kvrow, kvrow,
+                      mat, mat, mat, mat, mat, mat,
+                      vec, vec, vec, vec, vec, vec,
+                      vec, vec, vec, vec, vec, vec],
+            out_specs=row,
+        ),
+        interpret=interpret,
+    )(x, mods, ck, cv,
+      wq.w_q, wk.w_q, wv.w_q, wproj.w_q, wcrossq.w_q, wcrossproj.w_q,
+      wq.scale, wk.scale, wv.scale, wproj.scale, wcrossq.scale, wcrossproj.scale,
+      wq.bias, wk.bias, wv.bias, wproj.bias, wcrossq.bias, wcrossproj.bias)
+
+
+def attn_pair_block_reference(x, mods, ck, cv, wq, wk, wv, wproj, wcrossq,
+                              wcrossproj, *, batch, n_head, q_valid, kv_valid):
+    """jnp oracle: the two single-block references composed."""
+    y = self_attn_block_reference(x, mods[0:2], wq, wk, wv, wproj, batch=batch,
+                                  n_head=n_head, q_valid=q_valid)
+    return cross_attn_block_reference(y, mods[2:4], ck, cv, wcrossq, wcrossproj,
+                                      batch=batch, n_head=n_head,
+                                      kv_valid=kv_valid)
+
+
+# ---------------------------------------------------------------------------
 # MLP block
 # ---------------------------------------------------------------------------
 
 def _mlp_kernel(x_ref, mod_ref, w1_ref, w2_ref, s1_ref, s2_ref, b1_ref, b2_ref,
-                out_ref):
-    x = x_ref[:, :].astype(jnp.float32)
-    h = _prologue(x, mod_ref[0:1, :].astype(jnp.float32),
-                  mod_ref[1:2, :].astype(jnp.float32), "ln")
-    qx, s = _quantize_rows(h)
-    u = _deq(_int8_dot(qx, w1_ref), s, s1_ref, b1_ref)
-    u = _gelu2(u)
-    qu, su = _quantize_rows(u)
-    o = _deq(_int8_dot(qu, w2_ref), su, s2_ref, b2_ref) + x
-    out_ref[:, :] = o.astype(out_ref.dtype)
+                out_ref, *, pipeline_halves: bool = False):
+    def half(x):
+        h = _prologue(x, mod_ref[0:1, :].astype(jnp.float32),
+                      mod_ref[1:2, :].astype(jnp.float32), "ln")
+        qx, s = _quantize_rows(h)
+        u = _deq(_int8_dot(qx, w1_ref), s, s1_ref, b1_ref)
+        u = _gelu2(u)
+        qu, su = _quantize_rows(u)
+        return _deq(_int8_dot(qu, w2_ref), su, s2_ref, b2_ref) + x
+
+    if not pipeline_halves:
+        out_ref[:, :] = half(x_ref[:, :].astype(jnp.float32)).astype(out_ref.dtype)
+        return
+    # two independent row halves: exposes VPU(half A) || MXU(half B) to the
+    # scheduler instead of one serial LN->quant->dot->gelu->quant->dot chain
+    m = x_ref.shape[0] // 2
+    out_ref[:m, :] = half(x_ref[:m, :].astype(jnp.float32)).astype(out_ref.dtype)
+    out_ref[m:, :] = half(x_ref[m:, :].astype(jnp.float32)).astype(out_ref.dtype)
 
 
-def mlp_block(x, mod, w1, w2, *, block_m: int = 128, interpret: bool = False):
+def mlp_block(x, mod, w1, w2, *, block_m: int = 128, interpret: bool = False,
+              pipeline_halves: bool = False):
     """x (M, D) -> x + fc2(gelu2(fc1(ln(x)))) in one kernel. Row-wise: any
     block_m dividing M (128 keeps fc1's int32 accumulator + both weights
     comfortably in VMEM)."""
@@ -204,7 +299,7 @@ def mlp_block(x, mod, w1, w2, *, block_m: int = 128, interpret: bool = False):
     Dh = w1.w_q.shape[1]
     assert M % block_m == 0, (M, block_m)
     return pl.pallas_call(
-        _mlp_kernel,
+        partial(_mlp_kernel, pipeline_halves=pipeline_halves),
         out_shape=jax.ShapeDtypeStruct((M, D), x.dtype),
         grid_spec=pl.GridSpec(
             grid=(M // block_m,),

@@ -81,7 +81,9 @@ def main():
 
     @jax.jit
     def run_int8(qp, key, cond):
-        return sample_tokens_int8(qp, sched, key, cond, truncation_r=0.85)
+        # NOTE: impl must be explicit — impl=None auto-selects pallas on TPU
+        return sample_tokens_int8(qp, sched, key, cond, truncation_r=0.85,
+                                  impl="xla")
 
     @jax.jit
     def run_int8_pallas(qp, key, cond):
