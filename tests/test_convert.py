@@ -390,3 +390,35 @@ def test_discriminator_1d_specs_conversion_parity(rng):
     _disc_parity(ref, NLayerDiscriminator1dSpecs(input_nc=80, ndf=16, n_layers=3),
                  torch.from_numpy(x),
                  jnp.asarray(np.transpose(x[:, 0], (0, 2, 1))))
+
+
+# ---------------------------------------------------------------------------
+# CLIP vision tower (model.py VisualTransformer:201-236)
+# ---------------------------------------------------------------------------
+
+def test_clip_vision_tower_parity(rng):
+    clip_model = _load_module_from_file(
+        "ref_clip_model_vis",
+        f"{REF}/Diffsound/sound_synthesis/modeling/modules/clip/model.py",
+    )
+    from text_to_sound_synthesis_tpu.convert.torch_to_jax import convert_clip_vision
+    from text_to_sound_synthesis_tpu.models.clip import ClipVisionEncoder
+
+    res, patch, width, layers, heads, out_dim = 16, 8, 32, 2, 4, 24
+    torch.manual_seed(5)
+    tm = clip_model.VisualTransformer(
+        input_resolution=res, patch_size=patch, width=width, layers=layers,
+        heads=heads, output_dim=out_dim).eval()
+    sd = {f"visual.{k}": v.numpy() for k, v in tm.state_dict().items()}
+
+    ours = ClipVisionEncoder(input_resolution=res, patch_size=patch, width=width,
+                             layers=layers, heads=heads, output_dim=out_dim)
+    imgs = rng.standard_normal((2, res, res, 3)).astype(np.float32)
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(imgs))
+    params = convert_clip_vision(sd, params)
+
+    with torch.no_grad():
+        want = tm(torch.from_numpy(np.transpose(imgs, (0, 3, 1, 2)))).numpy()
+    got = np.asarray(ours.apply(params, jnp.asarray(imgs)))
+    # conv-stem accumulation-order noise: measured max delta 6.7e-5
+    np.testing.assert_allclose(got, want, atol=2e-4)

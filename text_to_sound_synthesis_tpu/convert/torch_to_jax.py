@@ -29,6 +29,7 @@ __all__ = [
     "load_torch_state_dict",
     "convert_vqgan",
     "convert_clip_text",
+    "convert_clip_vision",
     "convert_melgan_generator",
     "convert_discriminator",
     "convert_rnn_embedder",
@@ -296,28 +297,56 @@ def convert_clip_text(sd: Mapping[str, np.ndarray], params: Any, prefix: str = "
         if ns[0] == "ln_final":
             return filler.get(f"ln_final.{'weight' if ns[-1] == 'scale' else 'bias'}")
         if ns[0].startswith("resblock_"):
-            i = ns[0].split("_")[1]
-            base = f"transformer.resblocks.{i}"
-            sub, leaf_name = ns[1], ns[-1]
-            if sub in ("ln_1", "ln_2"):
-                return filler.get(f"{base}.{sub}.{'weight' if leaf_name == 'scale' else 'bias'}")
-            if sub == "attn_in_proj":
-                if leaf_name == "kernel":
-                    return _linear(filler.get(f"{base}.attn.in_proj_weight"))
-                return filler.get(f"{base}.attn.in_proj_bias")
-            if sub == "attn_out_proj":
-                if leaf_name == "kernel":
-                    return _linear(filler.get(f"{base}.attn.out_proj.weight"))
-                return filler.get(f"{base}.attn.out_proj.bias")
-            if sub == "mlp_c_fc":
-                t = "weight" if leaf_name == "kernel" else "bias"
-                w = filler.get(f"{base}.mlp.c_fc.{t}")
-                return _linear(w) if leaf_name == "kernel" else w
-            if sub == "mlp_c_proj":
-                t = "weight" if leaf_name == "kernel" else "bias"
-                w = filler.get(f"{base}.mlp.c_proj.{t}")
-                return _linear(w) if leaf_name == "kernel" else w
+            return _clip_resblock(filler, ns)
         raise KeyError(f"unmapped clip param {'/'.join(ns)}")
+
+    return filler.fill(params, rule)
+
+
+def _clip_resblock(filler: "_Filler", ns) -> np.ndarray:
+    """Shared CLIP ResidualAttentionBlock mapping (text + vision towers)."""
+    i = ns[0].split("_")[1]
+    base = f"transformer.resblocks.{i}"
+    sub, leaf_name = ns[1], ns[-1]
+    if sub in ("ln_1", "ln_2"):
+        return filler.get(f"{base}.{sub}.{'weight' if leaf_name == 'scale' else 'bias'}")
+    if sub == "attn_in_proj":
+        if leaf_name == "kernel":
+            return _linear(filler.get(f"{base}.attn.in_proj_weight"))
+        return filler.get(f"{base}.attn.in_proj_bias")
+    if sub == "attn_out_proj":
+        if leaf_name == "kernel":
+            return _linear(filler.get(f"{base}.attn.out_proj.weight"))
+        return filler.get(f"{base}.attn.out_proj.bias")
+    if sub == "mlp_c_fc":
+        t = "weight" if leaf_name == "kernel" else "bias"
+        w = filler.get(f"{base}.mlp.c_fc.{t}")
+        return _linear(w) if leaf_name == "kernel" else w
+    if sub == "mlp_c_proj":
+        t = "weight" if leaf_name == "kernel" else "bias"
+        w = filler.get(f"{base}.mlp.c_proj.{t}")
+        return _linear(w) if leaf_name == "kernel" else w
+    raise KeyError(f"unmapped clip resblock param {'/'.join(ns)}")
+
+
+def convert_clip_vision(sd: Mapping[str, np.ndarray], params: Any,
+                        prefix: str = "visual.") -> Any:
+    """Fill ClipVisionEncoder params from a CLIP checkpoint's ``visual.*``
+    entries (model.py VisualTransformer:201-236)."""
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    filler = _Filler(sd)
+
+    def rule(names, leaf):
+        ns = [n for n in names if n != "params"]
+        if ns[0] == "conv1":
+            return _conv2d(filler.get("conv1.weight"))
+        if ns[0] in ("class_embedding", "positional_embedding", "proj"):
+            return filler.get(ns[0])
+        if ns[0] in ("ln_pre", "ln_post"):
+            return filler.get(f"{ns[0]}.{'weight' if ns[-1] == 'scale' else 'bias'}")
+        if ns[0].startswith("resblock_"):
+            return _clip_resblock(filler, ns)
+        raise KeyError(f"unmapped clip vision param {'/'.join(ns)}")
 
     return filler.fill(params, rule)
 
