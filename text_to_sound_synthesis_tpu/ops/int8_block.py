@@ -63,6 +63,14 @@ import os as _os
 _HEAD_GROUP = int(_os.environ.get("T2S_HEAD_GROUP", "8"))
 
 
+def _par_params():
+    """Grid iterations in every kernel here are independent (row blocks /
+    batch elements) — tell Mosaic so it can pipeline across grid steps."""
+    if _os.environ.get("T2S_PAR_SEMANTICS", "1") == "0":
+        return None
+    return pltpu.CompilerParams(dimension_semantics=("parallel",))
+
+
 def _mha_inline(q, k, v, n_head: int, kv_valid: int, head_group: int = _HEAD_GROUP):
     """(Lq, D) x (Lkv, D) f32/bf16 -> (Lq, D) f32. Head scores are stacked
     along rows in groups of ``head_group`` so the softmax runs on full
@@ -137,6 +145,7 @@ def self_attn_block(x, mod, wq, wk, wv, wproj, *, batch: int, n_head: int,
                       vec, vec, vec, vec],
             out_specs=row,
         ),
+        compiler_params=_par_params(),
         interpret=interpret,
     )(x, mod, wq.w_q, wk.w_q, wv.w_q, wproj.w_q,
       wq.scale, wk.scale, wv.scale, wproj.scale,
@@ -182,6 +191,7 @@ def cross_attn_block(x, mod, ck, cv, wq, wproj, *, batch: int, n_head: int,
                       mat, mat, vec, vec, vec, vec],
             out_specs=row,
         ),
+        compiler_params=_par_params(),
         interpret=interpret,
     )(x, mod, ck, cv, wq.w_q, wproj.w_q, wq.scale, wproj.scale, wq.bias, wproj.bias)
 
@@ -248,6 +258,7 @@ def attn_pair_block(x, mods, ck, cv, wq, wk, wv, wproj, wcrossq, wcrossproj, *,
                       vec, vec, vec, vec, vec, vec],
             out_specs=row,
         ),
+        compiler_params=_par_params(),
         interpret=interpret,
     )(x, mods, ck, cv,
       wq.w_q, wk.w_q, wv.w_q, wproj.w_q, wcrossq.w_q, wcrossproj.w_q,
@@ -316,6 +327,7 @@ def mlp_block(x, mod, w1, w2, *, block_m: int = 128, interpret: bool = False,
             out_specs=pl.BlockSpec((block_m, D), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
         ),
+        compiler_params=_par_params(),
         interpret=interpret,
     )(x, mod, w1.w_q, w2.w_q, w1.scale, w2.scale, w1.bias, w2.bias)
 

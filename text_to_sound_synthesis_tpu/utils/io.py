@@ -68,3 +68,28 @@ def write_wav(path: str, sr: int, y: np.ndarray, subtype: str = "PCM_24") -> Non
         w.setsampwidth(3)
         w.setframerate(sr)
         w.writeframes(bytes(frames))
+
+
+def wav_bytes(sr: int, y: np.ndarray, subtype: str = "PCM_24") -> bytes:
+    """In-memory WAV encoding (same formats as ``write_wav``) — serving path."""
+    import io as _io
+
+    y = np.clip(np.asarray(y, np.float64), -1.0, 1.0)
+    buf = _io.BytesIO()
+    if subtype == "PCM_16":
+        import scipy.io.wavfile as wavfile
+
+        wavfile.write(buf, sr, (y * 32767.0).astype(np.int16))
+        return buf.getvalue()
+    if subtype != "PCM_24":
+        raise ValueError(f"unsupported subtype {subtype!r}")
+    ints = np.round(y * 8388607.0).astype(np.int32)
+    frames = bytearray()
+    for v in ints:
+        frames += struct.pack("<i", int(v))[:3]
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(sr)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()

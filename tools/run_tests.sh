@@ -18,7 +18,7 @@ CHUNK2="tests/test_diffusion_model.py tests/test_composite.py tests/test_engine.
 tests/test_solver.py tests/test_evaluation.py tests/test_captioner.py \
 tests/test_caption_metrics_full.py tests/test_longform.py tests/test_int8_runtime.py"
 CHUNK3="tests/test_convert.py tests/test_reference_parity.py tests/test_melception_full.py \
-tests/test_learning.py"
+tests/test_learning.py tests/test_checkpoint_gate.py"
 CHUNK4="tests/test_cli.py tests/test_classifier_solver.py tests/test_vocoder_training.py \
 tests/test_vocoder_learning.py tests/test_vqgan_training.py tests/test_native_loader.py"
 

@@ -1,0 +1,228 @@
+#!/usr/bin/env python
+"""Text-to-sound HTTP serving daemon — the production serving surface.
+
+The reference ships batch scripts only (``generate_samples_batch.py``); a
+production deployment needs a long-lived process that keeps the compiled
+model warm and amortizes the TPU batch dimension across concurrent callers.
+This server does exactly that:
+
+* loads config + checkpoint once, jit-warms the full generate path (int8
+  serving engine by default on TPU — ``models/diffusion/int8_runtime.py``),
+* micro-batches concurrent requests: callers block while the collector waits
+  up to ``--max_wait_ms`` for up to ``--batch`` captions, then one TPU batch
+  serves them all (padded to a fixed batch so there is exactly ONE compiled
+  shape),
+* returns WAV bytes (MelGAN vocoder / Griffin-Lim / raw mel ``.npy``).
+
+API:
+  POST /generate   {"caption": "...", "format": "wav"|"mel", "seed": 0?}
+      -> audio/wav bytes (or application/octet-stream .npy for "mel")
+  GET  /healthz    -> {"status": "ok", "batch": N, "served": count}
+
+Usage:
+  python tools/serve.py --config_file configs/diffsound_audiocaps.yaml \
+      --ckpt converted/diffsound --vocoder vocoder_logs/ --port 8900 \
+      [--int8] [--batch 8] [--max_wait_ms 50]
+"""
+
+import argparse
+import io
+import json
+import os
+import queue
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_file", required=True)
+    p.add_argument("--ckpt", required=True, help="converted orbax dir, torch .pth, or 'random'")
+    p.add_argument("--vocoder", default=None, help="MelGAN logdir (args.yml + best_netG.pt)")
+    p.add_argument("--griffin_lim", action="store_true")
+    p.add_argument("--sample_type", default="top0.85r")
+    p.add_argument("--int8", action="store_true",
+                   help="serve through the W8A8 int8 engine (recommended on TPU)")
+    p.add_argument("--batch", type=int, default=8,
+                   help="max micro-batch (the single compiled batch shape)")
+    p.add_argument("--max_wait_ms", type=int, default=50,
+                   help="batcher linger before dispatching a partial batch")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8900)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+class Engine:
+    """Warm model + micro-batching dispatcher. Thread-safe."""
+
+    def __init__(self, args):
+        import jax
+        import jax.numpy as jnp
+
+        from generate import load_params  # tools/generate.py
+        from text_to_sound_synthesis_tpu.models.diffsound import build_model
+        from text_to_sound_synthesis_tpu.utils.config import load_yaml_config
+
+        self.args = args
+        self.jnp = jnp
+        self.jax = jax
+        self.model = build_model(load_yaml_config(args.config_file))
+        self.params = load_params(self.model, args.ckpt, args.seed)
+
+        self.vocoder = None
+        if args.vocoder:
+            from text_to_sound_synthesis_tpu.models.melgan.interface import load_vocoder
+
+            self.vocoder = load_vocoder(args.vocoder)
+        elif args.griffin_lim:
+            from text_to_sound_synthesis_tpu.ops.signal import mel_to_wav_np
+
+            self.vocoder = lambda spec: np.stack([mel_to_wav_np(s) for s in spec])
+
+        if args.int8:
+            qp = self.model.quantize_for_serving(self.params)
+
+            @jax.jit
+            def run(params, key, toks):
+                return self.model.generate_int8(params, qp, key, toks,
+                                                sample_type=args.sample_type)
+        else:
+            @jax.jit
+            def run(params, key, toks):
+                return self.model.generate(params, key, toks,
+                                           sample_type=args.sample_type)
+
+        self._run = run
+        self._q: "queue.Queue" = queue.Queue()
+        self._key = jax.random.PRNGKey(args.seed)
+        self.served = 0
+        self._warm()
+        t = threading.Thread(target=self._collector, daemon=True)
+        t.start()
+
+    def _warm(self):
+        toks = self.jnp.asarray(
+            self.model.text_to_tokens(["warmup"] * self.args.batch)["token"])
+        t0 = time.time()
+        mel = self._run(self.params, self._key, toks)
+        np.asarray(mel[0, :1, :1, 0])
+        print(f"[serve] warm compile: {time.time() - t0:.1f}s "
+              f"(batch {self.args.batch})", flush=True)
+
+    def _collector(self):
+        while True:
+            first = self._q.get()           # block for the first request
+            batch = [first]
+            deadline = time.time() + self.args.max_wait_ms / 1000.0
+            while len(batch) < self.args.batch:
+                timeout = deadline - time.time()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=timeout))
+                except queue.Empty:
+                    break
+            try:
+                self._dispatch(batch)
+            except Exception as e:  # noqa: BLE001 — a bad batch must not kill the loop
+                for _, done in batch:
+                    done["error"] = repr(e)
+                    done["event"].set()
+
+    def _dispatch(self, batch):
+        caps = [req["caption"] for req, _ in batch]
+        # pad to the single compiled batch shape
+        caps = caps + [""] * (self.args.batch - len(caps))
+        toks = self.jnp.asarray(self.model.text_to_tokens(caps)["token"])
+        self._key, k = self.jax.random.split(self._key)
+        mel = np.asarray(self._run(self.params, k, toks))
+        spec = (mel[..., 0] + 1.0) / 2.0      # [0, 1] TRANSFORMS spec
+        for i, (req, done) in enumerate(batch):
+            done["spec"] = spec[i]
+            done["event"].set()
+        self.served += len(batch)
+
+    def generate(self, caption: str) -> np.ndarray:
+        done = {"event": threading.Event()}
+        self._q.put(({"caption": caption}, done))
+        done["event"].wait()
+        if "error" in done:
+            raise RuntimeError(done["error"])
+        return done["spec"]
+
+
+def make_handler(engine):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *hargs):  # quiet
+            pass
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok", "batch": engine.args.batch,
+                                 "served": engine.served})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                caption = req.get("caption")
+                if not caption or not isinstance(caption, str):
+                    self._json(400, {"error": "missing 'caption'"})
+                    return
+                spec = engine.generate(caption)
+                fmt = req.get("format", "wav" if engine.vocoder else "mel")
+                if fmt == "mel" or engine.vocoder is None:
+                    buf = io.BytesIO()
+                    np.save(buf, spec.astype(np.float32))
+                    body, ctype = buf.getvalue(), "application/octet-stream"
+                else:
+                    from text_to_sound_synthesis_tpu.utils.io import wav_bytes
+
+                    wav = engine.vocoder(spec[None])[0]
+                    body, ctype = wav_bytes(22050, wav, subtype="PCM_24"), "audio/wav"
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as e:  # noqa: BLE001
+                self._json(500, {"error": repr(e)})
+
+    return Handler
+
+
+def main(argv=None):
+    args = get_args(argv)
+    engine = Engine(args)
+    from http.server import ThreadingHTTPServer
+
+    srv = ThreadingHTTPServer((args.host, args.port), make_handler(engine))
+    print(f"[serve] listening on http://{args.host}:{args.port} "
+          f"(int8={args.int8}, vocoder={'yes' if engine.vocoder else 'mel-only'})",
+          flush=True)
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
