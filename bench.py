@@ -30,7 +30,7 @@ import time
 H100_REFERENCE_CLIPS_PER_SEC = 3.0
 BATCH = 8
 STEPS = 100
-TIMED_ITERS = 3
+TIMED_ITERS = 8  # ~0.7 s each; more iters amortize the per-dispatch relay sync
 
 
 def main() -> None:

@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Quantify int8-serving drift end to end: FID/ISc between bf16-generated and
+int8-generated sample sets, against the seed-to-seed noise floor.
+
+The int8 engine (models/diffusion/int8_runtime.py) is gated numerically by
+kernel-vs-oracle and logit-agreement tests; this tool closes the loop at the
+DISTRIBUTION level, the same way the paper's metrics would see it:
+
+  1. generate N clips with the bf16 path (seed A),
+  2. generate N clips with the int8 engine (seed A'),
+  3. generate N clips with the bf16 path again (seed B),
+  4. extract Melception features for all three sets,
+  5. report FID(bf16_A, int8) vs the floor FID(bf16_A, bf16_B).
+
+int8 drift is acceptable when row 5's two numbers are comparable — the
+quantization then moves the sample distribution no further than resampling
+does. With no released checkpoint the tool runs on random weights (still a
+valid relative comparison); pass --ckpt/--melception for the real gate.
+
+Usage:
+  python tools/eval_int8_drift.py --config_file configs/diffsound_audiocaps.yaml \
+      [--ckpt converted/diffsound] [--melception converted/melception] \
+      [--clips 64] [--batch 8] [--captions caps.txt]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+DEFAULT_CAPTIONS = [
+    "a dog barks in the distance", "rain falls on a tin roof",
+    "a car engine starts and idles", "waves crash against the shore",
+    "a crowd applauds loudly", "birds chirp in the morning",
+    "a train passes blowing its horn", "thunder rumbles during a storm",
+]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_file", required=True)
+    p.add_argument("--ckpt", default="random")
+    p.add_argument("--melception", default=None,
+                   help="converted melception orbax dir (default: random init)")
+    p.add_argument("--clips", type=int, default=64)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--captions", default=None, help="txt file, one caption/line")
+    p.add_argument("--sample_type", default="top0.85r")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from generate import load_params  # tools/generate.py
+    from text_to_sound_synthesis_tpu.evaluation.features import extract_features
+    from text_to_sound_synthesis_tpu.evaluation.metrics import (
+        calculate_fid,
+        calculate_isc,
+    )
+    from text_to_sound_synthesis_tpu.models.diffsound import build_model
+    from text_to_sound_synthesis_tpu.models.melception import Melception
+    from text_to_sound_synthesis_tpu.utils.config import load_yaml_config
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    except Exception:
+        pass
+
+    model = build_model(load_yaml_config(args.config_file))
+    params = load_params(model, args.ckpt, args.seed)
+    qp = model.quantize_for_serving(params)
+
+    caps = DEFAULT_CAPTIONS
+    if args.captions:
+        with open(args.captions) as f:
+            caps = [ln.strip() for ln in f if ln.strip()]
+
+    @jax.jit
+    def run_bf16(params, key, toks):
+        return model.generate(params, key, toks, sample_type=args.sample_type)
+
+    @jax.jit
+    def run_int8(params, key, toks):
+        return model.generate_int8(params, qp, key, toks,
+                                   sample_type=args.sample_type)
+
+    def sample_set(runner, seed):
+        key = jax.random.PRNGKey(seed)
+        specs = []
+        i = 0
+        while len(specs) < args.clips:
+            batch_caps = [caps[(i + j) % len(caps)] for j in range(args.batch)]
+            i += args.batch
+            toks = jnp.asarray(model.text_to_tokens(batch_caps)["token"])
+            key, k = jax.random.split(key)
+            mel = np.asarray(runner(params, k, toks))
+            specs.extend((mel[j, :, :, 0] + 1.0) / 2.0 for j in range(mel.shape[0]))
+        return specs[: args.clips]
+
+    t0 = time.time()
+    sets = {
+        "bf16_a": sample_set(run_bf16, 100),
+        "int8": sample_set(run_int8, 200),
+        "bf16_b": sample_set(run_bf16, 300),
+    }
+    print(f"generated 3x{args.clips} clips in {time.time() - t0:.0f}s",
+          file=sys.stderr)
+
+    mel_model = Melception(num_classes=309)
+    spec0 = sets["bf16_a"][0]
+    if args.melception:
+        import orbax.checkpoint as ocp
+
+        template = mel_model.init(jax.random.PRNGKey(0), jnp.asarray(spec0[None]))
+        mparams = ocp.PyTreeCheckpointer().restore(
+            os.path.abspath(args.melception), item=jax.device_get(template))
+        mparams = jax.tree_util.tree_map(jnp.asarray, mparams)
+    else:
+        mparams = mel_model.init(jax.random.PRNGKey(1), jnp.asarray(spec0[None]))
+        print("WARNING: random Melception (relative comparison only)",
+              file=sys.stderr)
+
+    feats = {
+        name: extract_features(
+            mel_model, mparams,
+            [(s, f"mem://{name}/{i}") for i, s in enumerate(specs)],
+            batch_size=min(16, args.clips))
+        for name, specs in sets.items()
+    }
+
+    out = {
+        "clips_per_set": args.clips,
+        "fid_bf16_vs_int8": calculate_fid(
+            feats["bf16_a"]["2048"], feats["int8"]["2048"])["frechet_inception_distance"],
+        "fid_bf16_seed_floor": calculate_fid(
+            feats["bf16_a"]["2048"], feats["bf16_b"]["2048"])["frechet_inception_distance"],
+        "isc_bf16": calculate_isc(feats["bf16_a"]["logits"],
+                                  splits=2)["inception_score_mean"],
+        "isc_int8": calculate_isc(feats["int8"]["logits"],
+                                  splits=2)["inception_score_mean"],
+    }
+    out["drift_ratio"] = (out["fid_bf16_vs_int8"]
+                          / max(out["fid_bf16_seed_floor"], 1e-9))
+    print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
+                      for k, v in out.items()}))
+
+
+if __name__ == "__main__":
+    main()
