@@ -81,16 +81,35 @@ def main():
         with open(args.captions) as f:
             caps = [ln.strip() for ln in f if ln.strip()]
 
-    @jax.jit
-    def run_bf16(params, key, toks):
-        return model.generate(params, key, toks, sample_type=args.sample_type)
+    # separate small jits (cond embed / sampler / decode) instead of one
+    # monolithic generate: each compiles fast through the relay and the
+    # sampler HLOs match the benchmark suite's cached executables
+    from text_to_sound_synthesis_tpu.models.diffusion.int8_runtime import (
+        sample_tokens_int8,
+    )
+    from text_to_sound_synthesis_tpu.models.diffusion.process import (
+        sample_tokens_fused,
+    )
+
+    r = float(args.sample_type.split(",")[0][3:-1]) if args.sample_type.startswith("top") else 0.0
+    sched = model.diffusion.schedule()
+
+    embed = jax.jit(lambda params, toks: model.embed_condition(params, toks))
 
     @jax.jit
-    def run_int8(params, key, toks):
-        return model.generate_int8(params, qp, key, toks,
-                                   sample_type=args.sample_type)
+    def toks_bf16(params, key, cond_emb):
+        return sample_tokens_fused(model.diffusion, params["diffusion"], key,
+                                   cond_emb, truncation_r=r)
 
-    def sample_set(runner, seed):
+    @jax.jit
+    def toks_int8(qp, key, cond_emb):
+        return sample_tokens_int8(qp, sched, key, cond_emb, truncation_r=r)
+
+    @jax.jit
+    def decode(params, tokens):
+        return model.decode_tokens(params, tokens)
+
+    def sample_set(int8, seed):
         key = jax.random.PRNGKey(seed)
         specs = []
         i = 0
@@ -98,16 +117,21 @@ def main():
             batch_caps = [caps[(i + j) % len(caps)] for j in range(args.batch)]
             i += args.batch
             toks = jnp.asarray(model.text_to_tokens(batch_caps)["token"])
+            cond_emb = embed(params, toks)
             key, k = jax.random.split(key)
-            mel = np.asarray(runner(params, k, toks))
+            if int8:
+                tokens = toks_int8(qp, k, cond_emb)
+            else:
+                tokens = toks_bf16(params, k, cond_emb)
+            mel = np.asarray(decode(params, tokens))
             specs.extend((mel[j, :, :, 0] + 1.0) / 2.0 for j in range(mel.shape[0]))
         return specs[: args.clips]
 
     t0 = time.time()
     sets = {
-        "bf16_a": sample_set(run_bf16, 100),
-        "int8": sample_set(run_int8, 200),
-        "bf16_b": sample_set(run_bf16, 300),
+        "bf16_a": sample_set(False, 100),
+        "int8": sample_set(True, 200),
+        "bf16_b": sample_set(False, 300),
     }
     print(f"generated 3x{args.clips} clips in {time.time() - t0:.0f}s",
           file=sys.stderr)
