@@ -171,7 +171,7 @@ def main():
     }
     out["drift_ratio"] = (out["fid_bf16_vs_int8"]
                           / max(out["fid_bf16_seed_floor"], 1e-9))
-    print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
+    print(json.dumps({k: float(f"{v:.3e}") if isinstance(v, float) else v
                       for k, v in out.items()}))
 
 
