@@ -124,6 +124,20 @@ def main():
     dt, _ = timed(full, dparams, jax.random.PRNGKey(0), cond8)
     report("diffsound_100step_batch8", 8.0 / dt, "clips/sec")
 
+    # int8 serving engine (bench.py's headline path, sampler-only here)
+    from text_to_sound_synthesis_tpu.models.diffusion.int8_runtime import (
+        quantize_denoiser,
+        sample_tokens_int8,
+    )
+
+    qp = jax.device_put(quantize_denoiser(dparams, n_head=16, seq_len=265,
+                                          num_timesteps=100))
+    sched = den.schedule()
+    int8 = jax.jit(lambda q, k, c: sample_tokens_int8(q, sched, k, c,
+                                                      truncation_r=0.85))
+    dt, _ = timed(int8, qp, jax.random.PRNGKey(0), cond8)
+    report("diffsound_100step_batch8_int8", 8.0 / dt, "clips/sec")
+
     cond32 = jax.random.normal(jax.random.PRNGKey(8), (32, 77, 512))
     fast = jax.jit(lambda p, k, c: sample_tokens_fused(den, p, k, c,
                                                        truncation_r=0.85, skip_step=3))
