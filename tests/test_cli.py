@@ -197,3 +197,27 @@ def test_serve_http_roundtrip(tmp_path):
             assert e.code == 400
     finally:
         srv.shutdown()
+
+
+@pytest.mark.slow
+def test_serve_engine_int8_sharded(tmp_path):
+    """serve.Engine --int8 on the 8-device virtual mesh takes the shard_map
+    data-parallel path end to end."""
+    from tests.test_composite import _has_bpe
+    if not _has_bpe():
+        pytest.skip("BPE artifact unavailable")
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    cfg_path = tmp_path / "tiny.yaml"
+    _write_tiny_config(str(cfg_path))
+
+    import serve
+
+    args = serve.get_args(["--config_file", str(cfg_path), "--ckpt", "random",
+                           "--int8", "--batch", "8", "--max_wait_ms", "5"])
+    engine = serve.Engine(args)
+    spec = engine.generate("a dog barks")
+    assert spec.shape == (4, 16) and np.isfinite(spec).all()

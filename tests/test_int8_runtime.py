@@ -110,3 +110,34 @@ def test_sampler_tracks_fp_sampler_distribution(setup):
     q = h_q / h_q.sum()
     tv = 0.5 * np.abs(p - q).sum()
     assert tv < 0.25, tv
+
+
+def test_sharded_serving_8dev_mesh(setup):
+    """Data-parallel int8 serving via shard_map on the virtual 8-device mesh
+    (Pallas calls are opaque to GSPMD, so dp serving must go through
+    shard_map — this validates the sharding structure with the xla impl)."""
+    from text_to_sound_synthesis_tpu.models.diffusion.int8_runtime import (
+        sample_tokens_int8_sharded,
+    )
+    from text_to_sound_synthesis_tpu.parallel.mesh import make_mesh
+
+    model, params, qp, tokens, cond = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(data=8)
+    sched = model.schedule()
+    cond8 = jnp.tile(cond[:1], (8, 1, 1)) + 0.01 * jax.random.normal(
+        jax.random.PRNGKey(5), (8,) + cond.shape[1:])
+
+    out = sample_tokens_int8_sharded(mesh, qp, sched, jax.random.PRNGKey(3),
+                                     cond8, truncation_r=0.85, impl="xla")
+    arr = np.asarray(out)
+    assert arr.shape == (8, L)
+    assert ((arr >= 0) & (arr <= NUM_EMBED)).all()
+    # shards drew independent PRNG streams: rows are not all identical
+    assert len({tuple(r) for r in arr.tolist()}) > 1
+
+    # mismatched batch raises
+    with pytest.raises(ValueError):
+        sample_tokens_int8_sharded(mesh, qp, sched, jax.random.PRNGKey(3),
+                                   cond8[:6], impl="xla")

@@ -45,6 +45,7 @@ __all__ = [
     "quantize_denoiser",
     "int8_backbone_logits",
     "sample_tokens_int8",
+    "sample_tokens_int8_sharded",
 ]
 
 
@@ -424,3 +425,46 @@ def sample_tokens_int8(
     (tokens, _), _ = jax.lax.scan(step, (tokens, key),
                                   ((ts, t_post), idxs, mods_seq))
     return tokens
+
+
+def sample_tokens_int8_sharded(
+    mesh,
+    qp: Int8Denoiser,
+    sched: dd.DiffusionSchedule,
+    key: jax.Array,
+    cond_emb: jnp.ndarray,          # (B, S, Dc); B % mesh data size == 0
+    *,
+    axis: str = "data",
+    truncation_r: float = 0.0,
+    skip_step: int = 0,
+    impl: Optional[str] = None,
+) -> jnp.ndarray:
+    """Data-parallel int8 serving over a ``jax.sharding.Mesh``.
+
+    Pallas calls are opaque to GSPMD — XLA cannot auto-partition the fused
+    kernels — so multi-chip serving goes through ``shard_map``: each device
+    runs the full single-chip engine on its batch shard (no collectives
+    needed; generation is embarrassingly batch-parallel). Per-shard PRNG is
+    folded from the global key and the device's position along ``axis`` so
+    shards draw independent samples.
+    """
+    from functools import partial as _partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis]
+    B = cond_emb.shape[0]
+    if B % n:
+        raise ValueError(f"batch {B} must divide the '{axis}' axis size {n}")
+
+    def shard_fn(key, cond_shard):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        return sample_tokens_int8(qp, sched, key, cond_shard,
+                                  truncation_r=truncation_r,
+                                  skip_step=skip_step, impl=impl)
+
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(P(), P(axis)), out_specs=P(axis),
+                   check_rep=False)
+    return fn(key, cond_emb)

@@ -39,6 +39,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _parse_trunc(sample_type: str):
+    """'top0.85r[,fastN]' -> (truncation_r, skip_step, head)."""
+    head = sample_type.split(",")[0]
+    r = float(head[3:-1]) if head.startswith("top") and head.endswith("r") else 0.0
+    skip = 0
+    for part in sample_type.split(",")[1:]:
+        if part.startswith("fast"):
+            skip = int(part[4:])
+    return r, skip, head
+
+
 def get_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config_file", required=True)
@@ -85,7 +96,29 @@ class Engine:
 
             self.vocoder = lambda spec: np.stack([mel_to_wav_np(s) for s in spec])
 
-        if args.int8:
+        ndev = len(jax.devices())
+        if args.int8 and ndev > 1 and args.batch % ndev == 0:
+            # multi-chip data-parallel serving: Pallas kernels are opaque to
+            # GSPMD, so the batch is split across chips via shard_map
+            from text_to_sound_synthesis_tpu.models.diffusion.int8_runtime import (
+                sample_tokens_int8_sharded,
+            )
+            from text_to_sound_synthesis_tpu.parallel.mesh import make_mesh
+
+            qp = self.model.quantize_for_serving(self.params)
+            sched = self.model.diffusion.schedule()
+            mesh = make_mesh(data=ndev)
+            r, skip, _ = _parse_trunc(args.sample_type)
+            print(f"[serve] int8 sharded over {ndev} devices", flush=True)
+
+            @jax.jit
+            def run(params, key, toks):
+                cond_emb = self.model.embed_condition(params, toks)
+                tokens = sample_tokens_int8_sharded(
+                    mesh, qp, sched, key, cond_emb, truncation_r=r,
+                    skip_step=skip)
+                return self.model.decode_tokens(params, tokens)
+        elif args.int8:
             qp = self.model.quantize_for_serving(self.params)
 
             @jax.jit
