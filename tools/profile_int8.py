@@ -13,6 +13,12 @@ sub-30ms ops by dispatch, sync on a tiny dependent slice):
   algebra     step_coeffs + fused_p_sample on fixed logits
 
 Usage: python tools/profile_int8.py [reps=50]
+
+CAVEAT (measured, see CLAUDE.md round-2 ledger): isolated scan-loop timings of
+sub-components OVERESTIMATE their in-context cost (e.g. embed_head measured
+0.65 ms isolated vs ~0 in the full step; block sums exceeded the full
+transformer). Use tools/trace_int8.py (device trace) for ground truth; this
+tool is only good for quick relative A/Bs of the full step.
 """
 
 import os
