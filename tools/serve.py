@@ -39,17 +39,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _parse_trunc(sample_type: str):
-    """'top0.85r[,fastN]' -> (truncation_r, skip_step, head)."""
-    head = sample_type.split(",")[0]
-    r = float(head[3:-1]) if head.startswith("top") and head.endswith("r") else 0.0
-    skip = 0
-    for part in sample_type.split(",")[1:]:
-        if part.startswith("fast"):
-            skip = int(part[4:])
-    return r, skip, head
-
-
 def get_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config_file", required=True)
@@ -105,10 +94,21 @@ class Engine:
             )
             from text_to_sound_synthesis_tpu.parallel.mesh import make_mesh
 
+            from text_to_sound_synthesis_tpu.models.diffsound import (
+                parse_sample_type,
+            )
+
+            head = args.sample_type.split(",")[0]
+            if not (head.startswith("top") and head.endswith("r")):
+                raise ValueError("int8 serving supports top-r sampling only, "
+                                 f"got {args.sample_type!r}")
+            r = float(head[3:-1])
+            _, skip, resample_q = parse_sample_type(args.sample_type)
+            if resample_q:
+                raise ValueError("int8 serving does not support q-resample")
             qp = self.model.quantize_for_serving(self.params)
             sched = self.model.diffusion.schedule()
             mesh = make_mesh(data=ndev)
-            r, skip, _ = _parse_trunc(args.sample_type)
             print(f"[serve] int8 sharded over {ndev} devices", flush=True)
 
             @jax.jit
