@@ -52,6 +52,12 @@ def main():
     p.add_argument("--captions", default=None, help="txt file, one caption/line")
     p.add_argument("--sample_type", default="top0.85r")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--train_steps", type=int, default=0,
+                   help="briefly train the denoiser on synthetic batches "
+                        "first (random init draws near-degenerate samples; "
+                        "a few dozen optimizer steps give the weights "
+                        "realistic statistics). Uses the bench_train recipe "
+                        "(batch 20, AdamW) so the compile cache is shared.")
     args = p.parse_args()
 
     import jax
@@ -74,6 +80,37 @@ def main():
 
     model = build_model(load_yaml_config(args.config_file))
     params = load_params(model, args.ckpt, args.seed)
+
+    if args.train_steps:
+        # bench_train's exact recipe (same optimizer/batch -> shared compile)
+        from text_to_sound_synthesis_tpu.engine.clip_grad import ClipGradNorm
+        from text_to_sound_synthesis_tpu.engine.optimizers import build_optimizer
+        from text_to_sound_synthesis_tpu.engine.train_state import (
+            DiffusionTrainState,
+            make_train_step,
+        )
+
+        rng = np.random.default_rng(args.seed)
+        tx = build_optimizer({"target": "adamw",
+                              "params": {"betas": (0.9, 0.96),
+                                         "weight_decay": 0.045}}, 3e-6)
+        step = make_train_step(model, tx, ClipGradNorm(0, 5000, 0.5),
+                               ema_decay=0.99, ema_interval=25)
+        frozen = {"codec": params["codec"], "cond": params["cond"]}
+        state = DiffusionTrainState.create(params["diffusion"], tx,
+                                           num_timesteps=model.diffusion.diffusion_step)
+        batch = {
+            "image": jnp.asarray(rng.standard_normal((20, 80, 848, 1)), jnp.float32),
+            "condition_token": jnp.asarray(rng.integers(0, 49408, (20, 77)), jnp.int32),
+        }
+        t0 = time.time()
+        for i in range(args.train_steps):
+            state, _ = step(state, frozen, batch, jax.random.PRNGKey(1000 + i),
+                            3e-6)
+        params = dict(params, diffusion=state.params)
+        print(f"trained {args.train_steps} steps in {time.time() - t0:.0f}s",
+              file=sys.stderr)
+
     qp = model.quantize_for_serving(params)
 
     caps = DEFAULT_CAPTIONS

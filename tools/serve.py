@@ -15,8 +15,10 @@ This server does exactly that:
 * returns WAV bytes (MelGAN vocoder / Griffin-Lim / raw mel ``.npy``).
 
 API:
-  POST /generate   {"caption": "...", "format": "wav"|"mel", "seed": 0?}
+  POST /generate   {"caption": "...", "format": "wav"|"mel"}
       -> audio/wav bytes (or application/octet-stream .npy for "mel")
+      (sampling keys advance server-side per dispatched batch; per-request
+      seeds are not exposed — requests share a batch draw)
   GET  /healthz    -> {"status": "ok", "batch": N, "served": count}
 
 Usage:
