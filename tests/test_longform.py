@@ -81,3 +81,22 @@ def test_generate_long_crossfade_blends_to_constant(rng, monkeypatch):
                               duration_frames=40, overlap_frames=6)
     assert out.shape == (1, 4, 40, 1)
     np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-6)
+
+
+def test_generate_long_crossfade_large_overlap(rng, monkeypatch):
+    """overlap > seg/2 (3+ segments cover a frame): weights still blend to
+    unity — regression for the .set()-overwrite bug where summed weights
+    reached ~2x in the mid-segment band."""
+    model = _tiny_model()
+    params = model.init_params(jax.random.PRNGKey(0), mel_shape=(1, 4, 16, 1))
+    toks = jnp.asarray(model.text_to_tokens(["a test"])["token"][:, :12])
+
+    def const_generate(params, key, cond_tokens, **kw):
+        return jnp.full((cond_tokens.shape[0], 4, 16, 1), 0.5)
+
+    monkeypatch.setattr(model, "generate", const_generate)
+    # seg=16, overlap=12 > seg/2 -> hop=4, frames covered by up to 4 segments
+    out = model.generate_long(params, jax.random.PRNGKey(1), toks,
+                              duration_frames=40, overlap_frames=12)
+    assert out.shape == (1, 4, 40, 1)
+    np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-6)

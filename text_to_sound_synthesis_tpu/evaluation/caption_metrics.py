@@ -283,11 +283,16 @@ def meteor(candidates, references, alpha: float = 0.9, beta_: float = 3.0,
     """METEOR with exact -> Porter-stem -> WordNet-synonym stages (synonyms
     only when a WordNet corpus is available; see module docstring). Segment
     score = best reference; corpus score = mean of segments."""
-    stem = _porter()
-    syn = _wordnet_synsets()
+    from functools import lru_cache
+
+    # memoized per token: _align probes stem/synsets O(|cand| x |ref|) times
+    # per stage per reference, but the token vocabulary is tiny
+    stem = lru_cache(maxsize=None)(_porter())
+    syn0 = _wordnet_synsets()
     stages = [lambda c, r: c == r,
               lambda c, r: stem(c) == stem(r)]
-    if syn is not None:
+    if syn0 is not None:
+        syn = lru_cache(maxsize=None)(syn0)
         stages.append(lambda c, r: c in syn(r) or r in syn(c))
 
     scores = []

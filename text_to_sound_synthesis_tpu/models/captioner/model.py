@@ -205,6 +205,30 @@ def greedy_decode(model: ACTCaptioner, params, mel: jnp.ndarray,
     return tokens
 
 
+# jitted beam-search helpers cached per model INSTANCE: defining them inside
+# beam_decode would create fresh jit wrappers (empty compile caches) on every
+# call — tools/eval_captions.py calls beam_decode once per sample file, which
+# recompiled the full captioner per file. The cache entry keeps the model
+# object alive so its id cannot be reused.
+_BEAM_JIT_CACHE: dict = {}
+
+
+def _beam_fns(model: ACTCaptioner):
+    ent = _BEAM_JIT_CACHE.get(id(model))
+    if ent is not None and ent[0] is model:
+        return ent[1], ent[2]
+
+    @jax.jit
+    def step_logits(params, memory, tokens, pos):
+        logits = model.apply(params, memory, tokens, method=model.decode)
+        return jax.nn.log_softmax(
+            jax.lax.dynamic_slice_in_dim(logits, pos, 1, axis=1)[0, 0])
+
+    encode = jax.jit(lambda params, m: model.apply(params, m, method=model.encode))
+    _BEAM_JIT_CACHE[id(model)] = (model, step_logits, encode)
+    return step_logits, encode
+
+
 def beam_decode(model: ACTCaptioner, params, mel: jnp.ndarray, beam_size: int = 3,
                 max_len: Optional[int] = None) -> List[np.ndarray]:
     """Beam search (AudiocaptionLoss/tools/beam.py semantics: length-averaged
@@ -214,13 +238,7 @@ def beam_decode(model: ACTCaptioner, params, mel: jnp.ndarray, beam_size: int = 
     # Fixed-shape decode: pad the prefix to max_len so XLA compiles the decoder
     # ONCE instead of once per sequence length (the decoder is causal, so the
     # padding cannot influence the logit read at the prefix's last position).
-    @jax.jit
-    def _step_logits(params, memory, tokens, pos):
-        logits = model.apply(params, memory, tokens, method=model.decode)
-        return jax.nn.log_softmax(
-            jax.lax.dynamic_slice_in_dim(logits, pos, 1, axis=1)[0, 0])
-
-    _encode = jax.jit(lambda params, m: model.apply(params, m, method=model.encode))
+    _step_logits, _encode = _beam_fns(model)
 
     out = []
     for b in range(mel.shape[0]):

@@ -314,18 +314,29 @@ class Diffsound:
 
         ramp = (jnp.arange(1, overlap_frames + 1, dtype=mels.dtype)
                 / (overlap_frames + 1))
+        up = jnp.concatenate([ramp, jnp.ones((seg - overlap_frames,), mels.dtype)])
+        down = up[::-1]
         out = jnp.zeros((B, n_mels, total, 1), mels.dtype)
+        wsum = jnp.zeros((total,), mels.dtype)
         for i in range(n):  # n is static; unrolled into one fused add chain
+            # edge ramps COMPOSE by multiplication (when overlap > seg/2 the
+            # two ramp regions overlap mid-segment; .set()-style overwrites
+            # produced non-unity summed weights there) and the final division
+            # by the accumulated weight makes the blend exact for any overlap
             w = jnp.ones((seg,), mels.dtype)
             if i > 0:
-                w = w.at[:overlap_frames].set(ramp)
+                w = w * up
             if i < n - 1:
-                w = w.at[-overlap_frames:].set(1.0 - ramp)
+                w = w * down
             piece = mels[:, i] * w[None, None, :, None]
             out = jax.lax.dynamic_update_slice(
                 out, jax.lax.dynamic_slice(out, (0, 0, i * hop, 0),
                                            (B, n_mels, seg, 1)) + piece,
                 (0, 0, i * hop, 0))
+            wsum = jax.lax.dynamic_update_slice(
+                wsum, jax.lax.dynamic_slice(wsum, (i * hop,), (seg,)) + w,
+                (i * hop,))
+        out = out / wsum[None, None, :, None]
         return out[:, :, :duration_frames]
 
     def sample_grid(

@@ -16,9 +16,11 @@ exact kernel-vs-oracle tests in tests/test_quant.py are the gate.
 
 Layout: tokens are padded from L to ``L_pad`` so every row-block is int8
 tile-aligned; pad keys are masked out of attention and pad rows dropped at the
-head. The 19 layers run as one ``lax.scan`` over a stacked layer pytree —
-one compiled block instead of 19 unrolled, and XLA double-buffers the weight
-fetches HBM->VMEM across layers.
+head. The per-layer weights are kept UNSTACKED (a tuple of per-layer pytrees,
+iterated with a Python loop): Pallas operands must be dense HBM buffers, so a
+rolled ``lax.scan`` over stacked (n_layer, K, N) weights would materialize a
+fresh HBM copy of every weight slice per layer per step (profiled ~0.9
+ms/step). Only the timestep dimension runs as a ``lax.scan``.
 """
 
 from __future__ import annotations
@@ -50,7 +52,8 @@ __all__ = [
 
 
 class Int8Layer(NamedTuple):
-    """One SelfCrossBlock, weights stacked over layers in ``Int8Denoiser``.
+    """One SelfCrossBlock's weights (``Int8Denoiser.layers`` holds a TUPLE of
+    these, one per layer — deliberately unstacked, see module docstring).
 
     q/k/v are separate (not packed): a packed (D, 3D) matmul forces minor-dim
     slices + physical copies when splitting heads for attention — profiled at
@@ -76,7 +79,7 @@ class Int8Layer(NamedTuple):
 
 
 class Int8Denoiser(struct.PyTreeNode):
-    layers: Int8Layer           # every leaf stacked: leading axis = n_layer
+    layers: Tuple[Int8Layer, ...]   # one entry per layer (unstacked)
     tok_emb: jnp.ndarray        # (num_classes, D) bf16
     pos_emb: jnp.ndarray        # (L, D) bf16
     norm_out: jnp.ndarray       # (2, D) f32 — gamma; beta
@@ -141,8 +144,15 @@ def quantize_denoiser(params: Any, *, n_head: int, seq_len: int,
 
     emb = p["content_emb"]
     tok = emb["emb"]["embedding"]
-    h_emb = emb["height_emb"]["embedding"] if "height_emb" in emb else emb["height_emb"]
-    w_emb = emb["width_emb"]["embedding"] if "width_emb" in emb else emb["width_emb"]
+    # pos_emb_type='embedding' stores nn.Embed subtrees {'embedding': arr};
+    # pos_emb_type='parameter' stores the arrays directly (embeddings.py:48-52)
+    from collections.abc import Mapping as _Mapping
+
+    def _pos(leaf):
+        return leaf["embedding"] if isinstance(leaf, _Mapping) else leaf
+
+    h_emb = _pos(emb["height_emb"])
+    w_emb = _pos(emb["width_emb"])
     pos = (h_emb[:, None, :] + w_emb[None, :, :]).reshape(-1, tok.shape[-1])
     return Int8Denoiser(
         layers=layers,
@@ -456,7 +466,8 @@ def sample_tokens_int8_sharded(
     n = mesh.shape[axis]
     B = cond_emb.shape[0]
     if B % n:
-        raise ValueError(f"batch {B} must divide the '{axis}' axis size {n}")
+        raise ValueError(
+            f"batch {B} must be a multiple of the '{axis}' axis size {n}")
 
     def shard_fn(key, cond_shard):
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))

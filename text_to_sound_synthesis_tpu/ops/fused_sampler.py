@@ -210,7 +210,9 @@ def _sampler_body(logits, xt, c: StepCoeffs, *, K: int, Kpad: int, r: float):
 
 def _kernel(seed_ref, coef_ref, logits_ref, xt_ref, out_ref, probs_ref, *, K: int,
             Kpad: int, r: float):
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    # seed and program id mixed as SEPARATE words: `seed + program_id` would
+    # collide along (step, block) diagonals when callers pass base + step_idx
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     c = StepCoeffs(*[coef_ref[i] for i in range(10)])
     tokens, post = _sampler_body(logits_ref[:, :].astype(jnp.float32),
                                  xt_ref[:, :], c, K=K, Kpad=Kpad, r=r)
@@ -278,7 +280,7 @@ def fused_p_sample(
 
 def _head_kernel(seed_ref, coef_ref, x_ref, xt_ref, ln_ref, hw_ref, hb_ref,
                  out_ref, *maybe_probs, K: int, Kpad: int, r: float):
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    pltpu.prng_seed(seed_ref[0], pl.program_id(0))  # see _kernel note
     c = StepCoeffs(*[coef_ref[i] for i in range(10)])
 
     xf = x_ref[:, :].astype(jnp.float32)

@@ -197,6 +197,8 @@ def _kernel_multi(x_ref, mod_ref, *rest, norm: str, act: str, n_w: int,
         y = acc.astype(jnp.float32) * (s * scale_refs[i][0:1, :]) + bias_refs[i][0:1, :]
         if act == "gelu2":
             y = _gelu2(y)
+        elif act != "none":
+            raise ValueError(act)
         if use_residual:
             y = y + res_ref[:, :].astype(jnp.float32)
         out_refs[i][:, :] = y.astype(out_refs[i].dtype)
@@ -307,6 +309,8 @@ def quant_dense_xla(
     y = acc.astype(jnp.float32) * (s * w.scale) + w.bias
     if act == "gelu2":
         y = _gelu2(y)
+    elif act != "none":
+        raise ValueError(act)
     if residual is not None:
         y = y + residual.astype(jnp.float32)
     return y.astype(out_dtype)
@@ -331,6 +335,8 @@ def quant_dense_reference(
     y = acc.astype(jnp.float32) * (s * w.scale) + w.bias
     if act == "gelu2":
         y = _gelu2(y)
+    elif act != "none":
+        raise ValueError(act)
     if residual is not None:
         y = y + residual.astype(jnp.float32)
     return y.astype(out_dtype)

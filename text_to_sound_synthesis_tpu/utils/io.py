@@ -50,28 +50,15 @@ def resample_poly(y: np.ndarray, up_sr: int, down_sr: int) -> np.ndarray:
 
 def write_wav(path: str, sr: int, y: np.ndarray, subtype: str = "PCM_24") -> None:
     """Write mono float [-1,1] audio; PCM_24 (reference default) or PCM_16."""
-    y = np.clip(np.asarray(y, np.float64), -1.0, 1.0)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    if subtype == "PCM_16":
-        import scipy.io.wavfile as wavfile
-
-        wavfile.write(path, sr, (y * 32767.0).astype(np.int16))
-        return
-    if subtype != "PCM_24":
-        raise ValueError(f"unsupported subtype {subtype!r}")
-    ints = np.round(y * 8388607.0).astype(np.int32)
-    frames = bytearray()
-    for v in ints:
-        frames += struct.pack("<i", int(v))[:3]  # little-endian 24-bit
-    with wave.open(path, "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(3)
-        w.setframerate(sr)
-        w.writeframes(bytes(frames))
+    with open(path, "wb") as f:
+        f.write(wav_bytes(sr, y, subtype))
 
 
 def wav_bytes(sr: int, y: np.ndarray, subtype: str = "PCM_24") -> bytes:
-    """In-memory WAV encoding (same formats as ``write_wav``) — serving path."""
+    """In-memory WAV encoding — the single implementation behind
+    ``write_wav`` and the HTTP serving path. 24-bit packing is vectorized
+    (the per-sample ``struct.pack`` loop cost ~100s of ms per 10 s clip)."""
     import io as _io
 
     y = np.clip(np.asarray(y, np.float64), -1.0, 1.0)
@@ -84,12 +71,12 @@ def wav_bytes(sr: int, y: np.ndarray, subtype: str = "PCM_24") -> bytes:
     if subtype != "PCM_24":
         raise ValueError(f"unsupported subtype {subtype!r}")
     ints = np.round(y * 8388607.0).astype(np.int32)
-    frames = bytearray()
-    for v in ints:
-        frames += struct.pack("<i", int(v))[:3]
+    # little-endian 24-bit: view the <i4 samples as bytes, drop the top byte
+    frames = (ints.astype("<i4").reshape(-1, 1).view(np.uint8)[:, :3]
+              .tobytes())
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(3)
         w.setframerate(sr)
-        w.writeframes(bytes(frames))
+        w.writeframes(frames)
     return buf.getvalue()

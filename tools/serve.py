@@ -88,6 +88,14 @@ class Engine:
             self.vocoder = lambda spec: np.stack([mel_to_wav_np(s) for s in spec])
 
         ndev = len(jax.devices())
+        if args.int8 and ndev > 1 and args.batch % ndev != 0:
+            import warnings
+
+            warnings.warn(
+                f"--batch {args.batch} does not divide the {ndev} available "
+                f"devices; serving on ONE chip and idling {ndev - 1}. Pick a "
+                "batch size divisible by the device count for sharded serving.",
+                RuntimeWarning, stacklevel=2)
         if args.int8 and ndev > 1 and args.batch % ndev == 0:
             # multi-chip data-parallel serving: Pallas kernels are opaque to
             # GSPMD, so the batch is split across chips via shard_map
