@@ -1,12 +1,16 @@
 """Headline benchmark: AudioCaps 10 s clips/sec/chip, 100-step Diffsound sampler.
 
 BASELINE config 4: "Diffsound 100-step discrete diffusion sampling, batch 8
-AudioCaps captions" — the full production pipeline minus host text BPE:
-flagship denoiser (19L x 1024d) served through the W8A8 int8 engine
-(models/diffusion/int8_runtime.py — block-fused Pallas kernels; the TPU
-analogue of serving the reference through TensorRT int8) driven by the fused
-100-step ``lax.scan`` reverse sampler with top-0.85r truncation, followed by the
-VQGAN decode to an 80x848 mel. Random weights (throughput is weight-agnostic).
+AudioCaps captions". WHAT IS TIMED: the flagship denoiser (19L x 1024d)
+served through the W8A8 int8 engine (models/diffusion/int8_runtime.py —
+block-fused Pallas kernels; the TPU analogue of serving the reference through
+TensorRT int8) driven by the fused 100-step ``lax.scan`` reverse sampler with
+top-0.85r truncation, followed by the VQGAN decode to an 80x848 mel. WHAT IS
+NOT: host text BPE, the CLIP text-tower forward (a precomputed random
+``cond_emb`` stands in; ~1-2 ms/batch on-device), the MelGAN vocode
+(~6 ms/batch) and the host wav write — the caption-in -> wav-out number
+including all of those is the ``e2e_text_to_wav`` row of
+``tools/bench_suite.py``. Random weights (throughput is weight-agnostic).
 Accuracy of the int8 engine vs the bf16 model is gated by
 tests/test_int8_runtime.py; kernel-vs-oracle exactness by tests/test_quant.py
 and tests/test_int8_blocks.py. ``BENCH_BF16=1`` benches the bf16 path instead.

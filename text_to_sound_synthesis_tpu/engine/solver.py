@@ -335,8 +335,11 @@ class Solver:
             pt = jnp.full((B,), 1.0 / T)
             out = self.model.loss(params, k2, b[self.model.content_info["key"]],
                                   b["condition_token"], t, pt, is_train=False)
-            losses.append(float(jax.device_get(out.loss)))
-        val = float(np.mean(losses)) if losses else None
+            # keep the device scalar — fetching here would sync every batch
+            # (the train loop's lagged-consume treatment, VERDICT r2 #9)
+            losses.append(out.loss)
+        val = (float(np.mean([jax.device_get(l) for l in losses]))
+               if losses else None)
         if val is not None:
             self.logger.log_info(f"validation epoch {epoch}: loss {val:.5f}")
             self.logger.add_scalar("val/loss", val, int(jax.device_get(self.state.step)))

@@ -205,16 +205,17 @@ def greedy_decode(model: ACTCaptioner, params, mel: jnp.ndarray,
     return tokens
 
 
-# jitted beam-search helpers cached per model INSTANCE: defining them inside
-# beam_decode would create fresh jit wrappers (empty compile caches) on every
-# call — tools/eval_captions.py calls beam_decode once per sample file, which
-# recompiled the full captioner per file. The cache entry keeps the model
-# object alive so its id cannot be reused.
-_BEAM_JIT_CACHE: dict = {}
+# jitted beam-search helpers cached for the most recent model INSTANCE:
+# defining them inside beam_decode would create fresh jit wrappers (empty
+# compile caches) on every call — tools/eval_captions.py calls beam_decode
+# once per sample file, which recompiled the full captioner per file. A
+# single-slot cache covers that pattern without keeping every captioner ever
+# constructed alive (long-lived processes churn model instances).
+_BEAM_JIT_CACHE: list = [None]  # [(model, step_logits, encode)] or [None]
 
 
 def _beam_fns(model: ACTCaptioner):
-    ent = _BEAM_JIT_CACHE.get(id(model))
+    ent = _BEAM_JIT_CACHE[0]
     if ent is not None and ent[0] is model:
         return ent[1], ent[2]
 
@@ -225,7 +226,7 @@ def _beam_fns(model: ACTCaptioner):
             jax.lax.dynamic_slice_in_dim(logits, pos, 1, axis=1)[0, 0])
 
     encode = jax.jit(lambda params, m: model.apply(params, m, method=model.encode))
-    _BEAM_JIT_CACHE[id(model)] = (model, step_logits, encode)
+    _BEAM_JIT_CACHE[0] = (model, step_logits, encode)
     return step_logits, encode
 
 

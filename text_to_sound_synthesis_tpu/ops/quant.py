@@ -289,15 +289,16 @@ def quant_dense_xla(
     residual: Optional[jnp.ndarray] = None,
     out_dtype: jnp.dtype = jnp.bfloat16,
 ) -> jnp.ndarray:
-    """The production int8 path: same math as the kernel, but expressed as XLA
-    ops with an int8 x int8 -> int32 ``jnp.dot``.
+    """Portable/fallback int8 path: same math as the kernel, expressed as XLA
+    ops with an int8 x int8 -> int32 ``jnp.dot``. Bit-identical to
+    ``quant_dense_reference``; runs on any backend (CPU tests, non-TPU).
 
-    Measured on v5e-1 (tools/bench_int8_micro.py, denoiser shapes): XLA fuses
-    the per-row quantize into the producer and the dequant/activation into the
-    consumer, sustaining 223-412 int8 TOP/s = 1.5-2.8x the bf16 matmul —
-    *faster* than the hand-written Pallas kernel (whose f32 VPU prologue/
-    epilogue does not pipeline against the MXU at these block sizes). Bit-
-    identical to ``quant_dense_reference``.
+    NOT the production path: the round-1 micro-benchmark that rated this
+    faster than the Pallas kernels was a relay artifact — the trace-verified
+    round-2 A/B at flagship scale measured the block-fused Pallas kernels
+    (ops/int8_block.py) at 6.18 ms/step vs 9.23 for this XLA dense path
+    (CLAUDE.md ledger). Serving uses impl='pallas'; this stays as the
+    portable twin and ablation baseline.
     """
     if norm == "ln" and mod is None:
         raise ValueError("norm='ln' requires mod = (gamma, beta) rows")

@@ -6,7 +6,7 @@
 # well under that limit and the chunks together cover every file in tests/.
 # A coverage guard at the end fails if a new test file is not in any chunk.
 #
-# Usage: sh tools/run_tests.sh [chunk]   (chunk = 1..4; default: all)
+# Usage: sh tools/run_tests.sh [chunk]   (chunk = 1..5; default: all)
 set -u
 cd "$(dirname "$0")/.."
 
@@ -16,11 +16,13 @@ tests/test_vqgan.py tests/test_gpt.py \
 tests/test_clip.py tests/test_melgan.py tests/test_data.py tests/test_config.py"
 CHUNK2="tests/test_diffusion_model.py tests/test_composite.py tests/test_engine.py \
 tests/test_solver.py tests/test_evaluation.py tests/test_captioner.py \
-tests/test_caption_metrics_full.py tests/test_longform.py tests/test_int8_runtime.py"
+tests/test_caption_metrics_full.py"
 CHUNK3="tests/test_convert.py tests/test_reference_parity.py tests/test_melception_full.py \
-tests/test_learning.py tests/test_checkpoint_gate.py"
-CHUNK4="tests/test_cli.py tests/test_classifier_solver.py tests/test_vocoder_training.py \
-tests/test_vocoder_learning.py tests/test_vqgan_training.py tests/test_native_loader.py"
+tests/test_learning.py tests/test_checkpoint_gate.py tests/test_longform.py"
+CHUNK4="tests/test_cli.py tests/test_classifier_solver.py tests/test_native_loader.py \
+tests/test_int8_runtime.py"
+CHUNK5="tests/test_vocoder_training.py tests/test_vocoder_learning.py \
+tests/test_vqgan_training.py"
 
 fail=0
 run_chunk() {
@@ -30,7 +32,7 @@ run_chunk() {
 }
 
 check_coverage() {
-    all="$CHUNK1 $CHUNK2 $CHUNK3 $CHUNK4"
+    all="$CHUNK1 $CHUNK2 $CHUNK3 $CHUNK4 $CHUNK5"
     for f in tests/test_*.py; do
         case " $all " in
             *" $f "*) ;;
@@ -44,13 +46,15 @@ case "${1:-all}" in
     2) run_chunk 2 "$CHUNK2" ;;
     3) run_chunk 3 "$CHUNK3" ;;
     4) run_chunk 4 "$CHUNK4" ;;
+    5) run_chunk 5 "$CHUNK5" ;;
     all)
         check_coverage
         run_chunk 1 "$CHUNK1"
         run_chunk 2 "$CHUNK2"
         run_chunk 3 "$CHUNK3"
         run_chunk 4 "$CHUNK4"
+        run_chunk 5 "$CHUNK5"
         ;;
-    *) echo "usage: sh tools/run_tests.sh [1|2|3|4|all]"; exit 2 ;;
+    *) echo "usage: sh tools/run_tests.sh [1|2|3|4|5|all]"; exit 2 ;;
 esac
 exit $fail

@@ -54,10 +54,24 @@ def get_args(argv=None):
                    help="max micro-batch (the single compiled batch shape)")
     p.add_argument("--max_wait_ms", type=int, default=50,
                    help="batcher linger before dispatching a partial batch")
+    p.add_argument("--queue_limit", type=int, default=64,
+                   help="max pending requests; beyond this POSTs get 429")
+    p.add_argument("--request_timeout_s", type=float, default=120.0,
+                   help="max seconds a request waits for its batch; 503 after")
+    p.add_argument("--sample_rate", type=int, default=22050,
+                   help="output WAV sample rate (the mel recipe's 22050)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8900)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
+
+
+class Overloaded(Exception):
+    """Request queue full — caller should back off (HTTP 429)."""
+
+
+class DispatchTimeout(Exception):
+    """Batch did not complete within --request_timeout_s (HTTP 503)."""
 
 
 class Engine:
@@ -142,7 +156,9 @@ class Engine:
                                            sample_type=args.sample_type)
 
         self._run = run
-        self._q: "queue.Queue" = queue.Queue()
+        # bounded: under sustained overload we reject (429) instead of
+        # growing the backlog without bound (ADVICE r2)
+        self._q: "queue.Queue" = queue.Queue(maxsize=args.queue_limit)
         self._key = jax.random.PRNGKey(args.seed)
         self.served = 0
         self._warm()
@@ -193,8 +209,15 @@ class Engine:
 
     def generate(self, caption: str) -> np.ndarray:
         done = {"event": threading.Event()}
-        self._q.put(({"caption": caption}, done))
-        done["event"].wait()
+        try:
+            self._q.put_nowait(({"caption": caption}, done))
+        except queue.Full:
+            raise Overloaded(
+                f"request queue full ({self.args.queue_limit} pending)")
+        if not done["event"].wait(timeout=self.args.request_timeout_s):
+            # a wedged TPU dispatch must not hang the handler thread forever
+            raise DispatchTimeout(
+                f"generation did not complete in {self.args.request_timeout_s}s")
         if "error" in done:
             raise RuntimeError(done["error"])
         return done["spec"]
@@ -233,9 +256,18 @@ def make_handler(engine):
                 if not caption or not isinstance(caption, str):
                     self._json(400, {"error": "missing 'caption'"})
                     return
-                spec = engine.generate(caption)
                 fmt = req.get("format", "wav" if engine.vocoder else "mel")
-                if fmt == "mel" or engine.vocoder is None:
+                if fmt not in ("wav", "mel"):
+                    self._json(400, {"error": f"unknown format {fmt!r} "
+                                              "(expected 'wav' or 'mel')"})
+                    return
+                if fmt == "wav" and engine.vocoder is None:
+                    self._json(400, {"error": "format='wav' requested but the "
+                                              "server has no vocoder (start "
+                                              "with --vocoder or --griffin_lim)"})
+                    return
+                spec = engine.generate(caption)
+                if fmt == "mel":
                     buf = io.BytesIO()
                     np.save(buf, spec.astype(np.float32))
                     body, ctype = buf.getvalue(), "application/octet-stream"
@@ -243,12 +275,17 @@ def make_handler(engine):
                     from text_to_sound_synthesis_tpu.utils.io import wav_bytes
 
                     wav = engine.vocoder(spec[None])[0]
-                    body, ctype = wav_bytes(22050, wav, subtype="PCM_24"), "audio/wav"
+                    body = wav_bytes(engine.args.sample_rate, wav, subtype="PCM_24")
+                    ctype = "audio/wav"
                 self.send_response(200)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+            except Overloaded as e:
+                self._json(429, {"error": str(e)})
+            except DispatchTimeout as e:
+                self._json(503, {"error": str(e)})
             except Exception as e:  # noqa: BLE001
                 self._json(500, {"error": repr(e)})
 
