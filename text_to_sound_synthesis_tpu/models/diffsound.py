@@ -277,6 +277,8 @@ class Diffsound:
         overlap_frames: int = 160,
         sample_type: str = "top0.85r",
         use_fused: Optional[bool] = None,
+        qp=None,
+        impl: Optional[str] = None,
     ) -> jnp.ndarray:
         """Long-form generation beyond the 10 s training window.
 
@@ -290,25 +292,34 @@ class Diffsound:
 
         ``duration_frames``: target mel frames (e.g. 2120 for ~25 s).
         Returns (B, n_mels, duration_frames, 1) in [-1, 1]. Jittable for a
-        fixed ``duration_frames``.
+        fixed ``duration_frames``. Passing ``qp`` (the engine from
+        ``quantize_for_serving``) runs the segments through the int8 serving
+        path (``generate_int8``; top-r sampling only) instead of bf16.
         """
         import math
+
+        if qp is not None:
+            def _gen(p, k, c):
+                return self.generate_int8(p, qp, k, c, sample_type=sample_type,
+                                          impl=impl)
+        else:
+            def _gen(p, k, c):
+                return self.generate(p, k, c, sample_type=sample_type,
+                                     use_fused=use_fused)
 
         B = cond_tokens.shape[0]
         seg = self.time_downsample * self.token_hw[1]
         if overlap_frames <= 0 or overlap_frames >= seg:
             raise ValueError(f"overlap_frames must be in (0, {seg})")
         if duration_frames <= seg:
-            mel = self.generate(params, key, cond_tokens,
-                                sample_type=sample_type, use_fused=use_fused)
+            mel = _gen(params, key, cond_tokens)
             return mel[:, :, :duration_frames]
         hop = seg - overlap_frames
         n = math.ceil((duration_frames - seg) / hop) + 1
         total = hop * (n - 1) + seg
 
         cond_rep = jnp.repeat(cond_tokens, n, axis=0)
-        mels = self.generate(params, key, cond_rep, sample_type=sample_type,
-                             use_fused=use_fused)
+        mels = _gen(params, key, cond_rep)
         n_mels = mels.shape[1]
         mels = mels.reshape(B, n, n_mels, seg, 1)
 

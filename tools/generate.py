@@ -14,6 +14,10 @@ Usage:
       --outdir samples/ [--replicate 2] [--sample_type top0.85r] [--batch 5]
 Or ad-hoc captions:
   python tools/generate.py ... --caption "a dog barks while rain falls"
+Long-form (>10 s) clips — chunked generation with mel-domain cross-fade
+(``Diffsound.generate_long``), vocoded end to end:
+  python tools/generate.py ... --caption "rolling thunder" --duration 25 \
+      --batch 1 [--int8]
 """
 
 import argparse
@@ -42,8 +46,24 @@ def get_args():
                    help="serve the denoiser through the W8A8 int8 engine "
                         "(models/diffusion/int8_runtime) — ~1.7x faster on TPU")
     p.add_argument("--batch", type=int, default=5)
+    p.add_argument("--duration", type=float, default=None,
+                   help="target clip length in SECONDS; >~10 s engages "
+                        "chunked long-form generation (Diffsound.generate_long:"
+                        " overlapping segments cross-faded in the mel domain). "
+                        "Each caption costs ceil(n_segments) sampler rows, so "
+                        "lower --batch accordingly")
+    p.add_argument("--duration_frames", type=int, default=None,
+                   help="target length in mel FRAMES directly (overrides "
+                        "--duration; 1 frame = 256/22050 s)")
+    p.add_argument("--overlap_frames", type=int, default=160,
+                   help="cross-fade overlap between long-form segments")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
+
+
+# the canonical mel recipe (ops/signal.py CANONICAL): 22 050 Hz, hop 256
+SAMPLE_RATE = 22050
+HOP_LENGTH = 256
 
 
 def load_params(model, ckpt, seed=0):
@@ -99,9 +119,20 @@ def main():
     os.makedirs(args.outdir, exist_ok=True)
     key = jax.random.PRNGKey(args.seed)
 
-    if args.int8:
-        qp = model.quantize_for_serving(params)
+    frames = args.duration_frames
+    if frames is None and args.duration is not None:
+        frames = int(round(args.duration * SAMPLE_RATE / HOP_LENGTH))
 
+    qp = model.quantize_for_serving(params) if args.int8 else None
+
+    if frames is not None:
+        @jax.jit
+        def run(params, key, cond_tokens):
+            return model.generate_long(params, key, cond_tokens,
+                                       duration_frames=frames,
+                                       overlap_frames=args.overlap_frames,
+                                       sample_type=args.sample_type, qp=qp)
+    elif args.int8:
         @jax.jit
         def run(params, key, cond_tokens):
             return model.generate_int8(params, qp, key, cond_tokens,
@@ -127,7 +158,7 @@ def main():
             np.save(base + ".npy", spec[i])
             if vocoder is not None:
                 wav = vocoder(spec[i : i + 1])[0]
-                write_wav(base + ".wav", 22050, wav, subtype="PCM_24")
+                write_wav(base + ".wav", SAMPLE_RATE, wav, subtype="PCM_24")
         print(f"[{start + len(chunk)}/{len(rows)}] wrote {len(names)} samples")
 
 
