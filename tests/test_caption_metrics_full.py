@@ -66,7 +66,7 @@ def test_meteor_vs_nltk_exact_stem_path():
     for cand_text, refs_text in _PROBE[:10]:
         cand = tokenize_caption(cand_text)
         refs = [tokenize_caption(r) for r in refs_text]
-        ours = meteor([cand], [[refs[0]]])
+        ours = meteor([cand], [[refs[0]]], synonyms="none")
         theirs = nltk_meteor.meteor_score([refs[0]], cand, wordnet=_NoWordnet())
         diffs.append(abs(ours - theirs))
     assert float(np.mean(diffs)) < 0.02
@@ -85,6 +85,68 @@ def test_meteor_lite_delta_quantified():
     # this probe set is maximally morphology-different, so the gap is large
     # (~0.39); real caption sets sit between 0 (exact-match outputs) and this.
     assert 0.25 < delta < 0.55
+
+
+def test_meteor_synonym_stage_live():
+    """The synonym stage is real in this image (vendored table fallback,
+    evaluation/synonyms.py) — not skipped, not dead code (VERDICT r2 #6)."""
+    from text_to_sound_synthesis_tpu.evaluation.caption_metrics import (
+        _wordnet_synsets,
+    )
+
+    lookup = _wordnet_synsets()
+    assert lookup is not None
+    assert "automobile" in lookup("car")
+
+    # car/automobile only match via the synonym stage: with it the candidate
+    # aligns fully; without it the score drops
+    cand = [tokenize_caption("an automobile honks")]
+    refs = [[tokenize_caption("a car honks")]]
+    with_syn = meteor(cand, refs)
+    without = meteor(cand, refs, synonyms="none")
+    assert with_syn > without
+    assert with_syn > 0.5
+
+
+def test_meteor_synonym_user_table_override(tmp_path, monkeypatch):
+    from text_to_sound_synthesis_tpu.evaluation import synonyms as S
+
+    table = tmp_path / "groups.txt"
+    table.write_text("# test groups\nzorp blick\n")
+    monkeypatch.setenv("T2S_SYNONYMS", str(table))
+    S._cached_table.cache_clear()
+    try:
+        assert "blick" in S.synonym_lookup("zorp")
+        assert S.synonym_lookup("car") == frozenset()  # vendored table replaced
+    finally:
+        S._cached_table.cache_clear()
+
+
+def test_meteor_synonym_delta_quantified():
+    """Quantify the synonyms-on vs exact+stem delta on a synonym-heavy probe
+    set (the lite/full re-quantification VERDICT r2 #6 asked for)."""
+    syn_probe = [
+        ("an automobile honks", ["a car honking"]),
+        ("a canine yaps", ["a dog yapping"]),
+        ("the sea roars", ["the ocean roaring"]),
+        ("a lorry engine hums", ["a truck engine humming"]),
+        ("a lady chuckles", ["a woman chuckling"]),
+        ("an infant sobs", ["a baby sobbing"]),
+        ("gunfire and a blast", ["gunshots and an explosion"]),
+        ("a quick creek trickles", ["a fast brook trickling"]),
+    ]
+    cands = [tokenize_caption(c) for c, _ in syn_probe]
+    refs = [[tokenize_caption(r) for r in rs] for _, rs in syn_probe]
+    with_syn = meteor(cands, refs)
+    without = meteor(cands, refs, synonyms="none")
+    delta = with_syn - without
+    assert 0.15 < delta < 0.75  # synonym-dominant probes: large, bounded gap
+    # the original morphology probe set is stem-dominated: synonyms shift it
+    # by less than the stem stage does
+    cands_m = [tokenize_caption(c) for c, _ in _PROBE]
+    refs_m = [[tokenize_caption(r) for r in rs] for _, rs in _PROBE]
+    d_m = meteor(cands_m, refs_m) - meteor(cands_m, refs_m, synonyms="none")
+    assert 0.0 <= d_m < 0.15
 
 
 def test_caption_scores_reports_both_meteors_and_honest_spider():

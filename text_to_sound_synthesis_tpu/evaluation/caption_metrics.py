@@ -10,10 +10,12 @@ definitions:
 * CIDEr-D: tf-idf weighted cosine over 1..4-grams, length-gaussian penalty
   (sigma = 6), average over references, x10;
 * METEOR: stage-wise unigram alignment — exact, then Porter-stem, then
-  WordNet-synonym (the synonym stage engages automatically when a WordNet
-  corpus is installed for nltk; the zero-egress build image ships nltk but no
-  WordNet data, in which case METEOR runs exact+stem only — the dominant
-  stages). Alignment is greedy with a contiguity preference (the Java jar
+  synonym. The synonym stage uses a real WordNet corpus when one is installed
+  for nltk; the zero-egress build image ships nltk without WordNet data, so
+  it falls back to a vendored compact synonym table curated for the
+  audio-caption domain (``evaluation/synonyms.py``; override with
+  $T2S_SYNONYMS; pass ``synonyms="none"`` to disable the stage). Alignment
+  is greedy with a contiguity preference (the Java jar
   beam-searches the minimum-chunk alignment among maximal matchings; deltas
   from that are small, quantified in tests/test_caption_metrics_full.py).
   Corpus score = mean of segment scores (the jar aggregates match statistics
@@ -222,9 +224,12 @@ def _porter():
 
 
 def _wordnet_synsets():
-    """Returns a word -> frozenset(lemma names) lookup when a WordNet corpus is
-    installed for nltk, else None (the build image has none; users can drop one
-    into an ``nltk_data`` directory to enable the synonym stage)."""
+    """word -> frozenset(synonyms) lookup for the METEOR synonym stage.
+
+    Prefers a real nltk WordNet corpus when one is installed (drop it into an
+    ``nltk_data`` directory); otherwise falls back to the vendored compact
+    synonym table (``evaluation/synonyms.py``, override via $T2S_SYNONYMS) so
+    the stage always has a live, tested execution path in this image."""
     try:
         from nltk.corpus import wordnet
 
@@ -239,7 +244,9 @@ def _wordnet_synsets():
 
         return lookup
     except Exception:
-        return None
+        from .synonyms import synonym_lookup
+
+        return synonym_lookup
 
 
 def _align(cand: Sequence[str], ref: Sequence[str], stages) -> List[tuple]:
@@ -279,16 +286,19 @@ def _chunks(pairs: List[tuple]) -> int:
 
 
 def meteor(candidates, references, alpha: float = 0.9, beta_: float = 3.0,
-           gamma: float = 0.5) -> float:
-    """METEOR with exact -> Porter-stem -> WordNet-synonym stages (synonyms
-    only when a WordNet corpus is available; see module docstring). Segment
-    score = best reference; corpus score = mean of segments."""
+           gamma: float = 0.5, synonyms="auto") -> float:
+    """METEOR with exact -> Porter-stem -> synonym stages (see module
+    docstring for the synonym-table resolution). ``synonyms``: "auto"
+    (WordNet, else the vendored table), "none" (exact+stem only), or a
+    ``word -> frozenset`` callable. Segment score = best reference; corpus
+    score = mean of segments."""
     from functools import lru_cache
 
     # memoized per token: _align probes stem/synsets O(|cand| x |ref|) times
     # per stage per reference, but the token vocabulary is tiny
     stem = lru_cache(maxsize=None)(_porter())
-    syn0 = _wordnet_synsets()
+    syn0 = (_wordnet_synsets() if synonyms == "auto"
+            else None if synonyms == "none" else synonyms)
     stages = [lambda c, r: c == r,
               lambda c, r: stem(c) == stem(r)]
     if syn0 is not None:
