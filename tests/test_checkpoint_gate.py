@@ -384,6 +384,57 @@ def test_generate_cli_on_proxy_pth(proxy, tmp_path, monkeypatch):
     assert np.isfinite(spec).all()
 
 
+@pytest.mark.slow
+def test_run_parity_gate_one_command(proxy, tmp_path, rng):
+    """tools/run_parity_gate.py (VERDICT r2 #7): the whole convert ->
+    roundtrip -> logit-parity -> generate -> metrics sequence as ONE command,
+    here on the reference-FORMAT proxy .pth. When the released artifacts
+    land, the identical invocation (plus --melception/--vocoder) is the
+    real gate."""
+    if not _has_bpe():
+        pytest.skip("BPE artifact unavailable")
+    import yaml
+
+    def plain(o):
+        if isinstance(o, dict):
+            return {k: plain(v) for k, v in o.items()}
+        if isinstance(o, (list, tuple)):
+            return [plain(v) for v in o]
+        return o
+
+    _, path, _ = proxy
+    cfg_path = tmp_path / "proxy.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump({"model": plain(MODEL_CFG)}, f)
+    gt = tmp_path / "gt_mels"
+    gt.mkdir()
+    for i in range(3):
+        np.save(gt / f"clip{i}_mel.npy",
+                rng.random((MEL_H, MEL_W)).astype(np.float32))
+
+    import run_parity_gate as gate
+
+    out = tmp_path / "gate_out"
+    # no --melception: the metrics step records SKIP (its machinery is
+    # exercised by test_evaluate_cli_smoke + test_metric_parity_vs_reference_
+    # code; compiling Inception on CPU here would dominate the suite)
+    rc = gate.main(["--config_file", str(cfg_path), "--ckpt", path,
+                    "--gt_mels", str(gt),
+                    "--caption", "a dog barks", "--outdir", str(out),
+                    "--replicate", "2", "--batch", "2",
+                    "--num_classes", "9"])
+    assert rc == 0
+
+    report = (out / "PARITY_GATE.md").read_text()
+    for step in ("convert", "roundtrip", "logit_parity", "generate", "metrics"):
+        assert step in report
+    assert "FAIL" not in report
+    # the three torch-parity steps all measured real agreement
+    assert report.count("PASS") >= 4
+    assert "indices EXACT" in report
+    assert len(list((out / "samples").glob("*.npy"))) == 2
+
+
 def test_metric_parity_vs_reference_code(rng):
     """Our FID/KL == the reference's own metric code on identical features
     (Codebook/evaluation/metrics/{fid,kl}.py)."""

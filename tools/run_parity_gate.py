@@ -1,0 +1,487 @@
+#!/usr/bin/env python
+"""One-command released-artifact parity gate (VERDICT r2 #7).
+
+Given the released reference artifacts, run the ENTIRE parity sequence that
+previously lived across four tools and a test file, and write a PARITY_GATE.md
+table:
+
+  1. convert       — ``.pth`` -> codec/cond/diffusion trees, EMA preferred
+                     (the tools/convert_checkpoints.py core)
+  2. roundtrip     — ground-truth mels through the converted codec vs the
+                     reference's own torch modules: exact code indices +
+                     decode within --thresh_roundtrip (default 1e-4 rel scale)
+  3. logit_parity  — CLIP text tower + denoiser logits vs torch (EMA weights,
+                     the inference-time weights of
+                     ``generate_samples_batch.py:82-87``)
+  4. generate      — AudioCaps-val CSV, ``--replicate 2 --sample_type
+                     top0.85r`` through the tools/generate.py CLI
+                     (``generate_samples_batch.py:143-186`` semantics)
+  5. metrics       — FID/KL/ISc/KID on Melception features of generated vs
+                     ground truth (``Codebook/evaluate.py:199-223``), with
+                     FID/KL cross-checked against the reference's OWN metric
+                     code on identical features
+
+Torch-side twins are built from the reference sources mounted at
+``/root/reference`` (file-level imports; no OmegaConf/ftfy needed) at the
+geometry of --config_file, and load their weights FROM THE CHECKPOINT — so
+the comparison is converted-tree vs torch-tree of the same released file.
+Steps degrade to SKIP (with the reason in the report) when an input is
+absent; the gate FAILS only on measured mismatches.
+
+Usage (artifacts from HF Dongchao/Diffsound + SpecVQGAN releases):
+  python tools/run_parity_gate.py \
+      --config_file configs/diffsound_audiocaps.yaml \
+      --ckpt diffsound_audiocaps.pth --vocoder vocoder_logs/ \
+      --melception melception.pt --gt_mels audiocaps_val_mels/ \
+      --csv audiocaps_val.csv --outdir parity_run/
+Smoke mode (no artifacts; exercises the orchestration end to end):
+  python tools/run_parity_gate.py --config_file tiny.yaml --ckpt proxy.pth \
+      --caption "a dog barks" --outdir /tmp/gate
+"""
+
+import argparse
+import csv as csv_mod
+import importlib.util
+import os
+import sys
+import time
+from glob import glob
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+REF = os.environ.get("T2S_REFERENCE", "/root/reference")
+
+PASS, FAIL, SKIP = "PASS", "FAIL", "SKIP"
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_file", required=True)
+    p.add_argument("--ckpt", required=True, help="released diffsound .pth")
+    p.add_argument("--vocoder", default=None, help="MelGAN logdir")
+    p.add_argument("--melception", default=None,
+                   help="melception .pt (torch) or converted orbax dir; "
+                        "'random' = smoke mode (metrics marked SKIP)")
+    p.add_argument("--gt_mels", default=None,
+                   help="dir of ground-truth [0,1] mel .npy files")
+    p.add_argument("--csv", default=None, help="val csv rows: name,caption")
+    p.add_argument("--caption", action="append", default=None,
+                   help="ad-hoc captions instead of --csv")
+    p.add_argument("--outdir", default="parity_run")
+    p.add_argument("--replicate", type=int, default=2)
+    p.add_argument("--sample_type", default="top0.85r")
+    p.add_argument("--batch", type=int, default=5)
+    p.add_argument("--limit", type=int, default=0,
+                   help="cap the number of csv rows (0 = all)")
+    p.add_argument("--num_classes", type=int, default=309,
+                   help="melception classes (VGGSound release: 309)")
+    p.add_argument("--thresh_roundtrip", type=float, default=1e-4)
+    p.add_argument("--thresh_logits", type=float, default=3e-4)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def _load_module_from_file(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _add_ref_paths():
+    for p in (f"{REF}/Codebook", f"{REF}/Diffsound"):
+        if os.path.isdir(p) and p not in sys.path:
+            sys.path.append(p)
+
+
+def _strip(sd, prefix):
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+class TorchTwins:
+    """Reference torch modules at --config_file geometry, weights from the
+    released file (the same file the converter consumed)."""
+
+    def __init__(self, model, ckpt_path):
+        import torch
+
+        self.torch = torch
+        _add_ref_paths()
+        from specvqgan.modules.diffusionmodules.model import Decoder as TDecoder
+        from specvqgan.modules.diffusionmodules.model import Encoder as TEncoder
+        from specvqgan.modules.vqvae.quantize import VectorQuantizer as TQuant
+        from sound_synthesis.modeling.transformers.transformer_utils import (
+            Block as TBlock,
+        )
+
+        clip_model = _load_module_from_file(
+            "ref_clip_model_gate",
+            f"{REF}/Diffsound/sound_synthesis/modeling/modules/clip/model.py")
+
+        raw = torch.load(ckpt_path, map_location="cpu")
+        sd = raw.get("model", raw)
+        self.has_ema = "ema" in raw
+
+        # -- codec ----------------------------------------------------------
+        dd = dict(model.codec.ddconfig)
+        zc, ne = model.codec.embed_dim, model.codec.n_embed
+        self.enc = TEncoder(**dd).eval()
+        self.dec = TDecoder(**dd).eval()
+        self.quant = TQuant(ne, zc, beta=0.25).eval()
+        self.qconv = torch.nn.Conv2d(dd["z_channels"], zc, 1)
+        self.pqconv = torch.nn.Conv2d(zc, dd["z_channels"], 1)
+        self.enc.load_state_dict(_strip(sd, "content_codec.encoder."))
+        self.dec.load_state_dict(_strip(sd, "content_codec.decoder."))
+        self.quant.load_state_dict(_strip(sd, "content_codec.quantize."))
+        self.qconv.load_state_dict(_strip(sd, "content_codec.quant_conv."))
+        self.pqconv.load_state_dict(
+            _strip(sd, "content_codec.post_quant_conv."))
+
+        # -- CLIP text tower (condition_emb attribute layout) ----------------
+        ce = _strip(sd, "transformer.condition_emb.")
+        c = model.cond
+        width, heads, ctx = c.width, c.heads, c.context_length
+        mask = torch.full((ctx, ctx), float("-inf")).triu(1)
+        n_blocks = len({k.split(".")[2] for k in ce
+                        if k.startswith("transformer.resblocks.")})
+        self.clip_blocks = torch.nn.ModuleList(
+            [clip_model.ResidualAttentionBlock(width, heads, mask)
+             for _ in range(n_blocks)]).eval()
+        for i, b in enumerate(self.clip_blocks):
+            b.load_state_dict(_strip(ce, f"transformer.resblocks.{i}."))
+        self.tok_emb = torch.nn.Embedding(*ce["token_embedding.weight"].shape)
+        self.tok_emb.load_state_dict({"weight": ce["token_embedding.weight"]})
+        self.pos_emb = ce["positional_embedding"]
+        self.ln_final = torch.nn.LayerNorm(width)
+        self.ln_final.load_state_dict({"weight": ce["ln_final.weight"],
+                                       "bias": ce["ln_final.bias"]})
+
+        # -- denoiser backbone (EMA-preferred, like the converter) -----------
+        bb = (_strip(raw["ema"], "transformer.") if self.has_ema
+              else _strip(sd, "transformer.transformer."))
+        tcfg = dict(model.diffusion.transformer_config.get("params", {}))
+        H, W = model.token_hw
+        n_embd = int(tcfg.get("n_embd", 1024))
+        n_layer = int(tcfg.get("n_layer", 19))
+        seq = model.diffusion.content_seq_len
+        self.blocks = torch.nn.ModuleList([
+            TBlock(condition_seq_len=ctx, n_embd=n_embd,
+                   n_head=int(tcfg.get("n_head", 16)), seq_len=seq,
+                   attn_pdrop=0.0, resid_pdrop=0.0,
+                   mlp_hidden_times=int(tcfg.get("mlp_hidden_times", 4)),
+                   activate=tcfg.get("block_activate", "GELU2"),
+                   attn_type="selfcross", condition_dim=int(c.width),
+                   diffusion_step=int(model.diffusion.diffusion_step),
+                   timestep_type=tcfg.get("timestep_type", "adalayernorm"),
+                   mlp_type="fc")
+            for _ in range(n_layer)]).eval()
+        for i, b in enumerate(self.blocks):
+            b.load_state_dict(_strip(bb, f"blocks.{i}."))
+        K = model.diffusion.num_classes
+        self.content_emb = torch.nn.Embedding(K, n_embd)
+        self.content_emb.load_state_dict({"weight": bb["content_emb.emb.weight"]})
+        self.h_emb = torch.nn.Embedding(H, n_embd)
+        self.h_emb.load_state_dict({"weight": bb["content_emb.height_emb.weight"]})
+        self.w_emb = torch.nn.Embedding(W, n_embd)
+        self.w_emb.load_state_dict({"weight": bb["content_emb.width_emb.weight"]})
+        self.ln_out = torch.nn.LayerNorm(n_embd)
+        self.ln_out.load_state_dict({"weight": bb["to_logits.0.weight"],
+                                     "bias": bb["to_logits.0.bias"]})
+        self.head = torch.nn.Linear(n_embd, K - 1)
+        self.head.load_state_dict({"weight": bb["to_logits.1.weight"],
+                                   "bias": bb["to_logits.1.bias"]})
+        self.hw = (H, W)
+
+    def codec_roundtrip(self, x_nhwc):
+        """(B, H, W, 1) [-1,1] -> (indices, rec NHWC)."""
+        torch = self.torch
+        xt = torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)))
+        with torch.no_grad():
+            h = self.qconv(self.enc(xt))
+            zq, _, (_, _, idx) = self.quant(h)
+            rec = self.dec(self.pqconv(zq)).numpy()
+        return idx.numpy().ravel(), np.transpose(rec, (0, 2, 3, 1))
+
+    def encode_text(self, tokens):
+        torch = self.torch
+        with torch.no_grad():
+            x = self.tok_emb(torch.from_numpy(tokens.astype(np.int64)))
+            x = x + self.pos_emb
+            x = x.permute(1, 0, 2)
+            for b in self.clip_blocks:
+                x = b(x)
+            x = self.ln_final(x.permute(1, 0, 2))
+            return (x / x.norm(dim=-1, keepdim=True)).numpy()
+
+    def denoiser_logits(self, tokens, cond, tstep):
+        torch = self.torch
+        H, W = self.hw
+        seq = H * W
+        with torch.no_grad():
+            emb = self.content_emb(torch.from_numpy(tokens.astype(np.int64)))
+            h_e = self.h_emb(torch.arange(H)).unsqueeze(1)
+            w_e = self.w_emb(torch.arange(W)).unsqueeze(0)
+            h = emb + (h_e + w_e).reshape(1, seq, -1)
+            for b in self.blocks:
+                h, _ = b(h, torch.from_numpy(cond),
+                         torch.from_numpy(tstep.astype(np.int64)))
+            return self.head(self.ln_out(h)).numpy()
+
+
+def main(argv=None):
+    args = get_args(argv)
+    t_start = time.time()
+    os.makedirs(args.outdir, exist_ok=True)
+    rows = []  # (step, status, detail)
+
+    def record(step, status, detail):
+        rows.append((step, status, detail))
+        print(f"[gate] {step:<14} {status}  {detail}", flush=True)
+
+    import jax
+    import jax.numpy as jnp
+
+    from generate import load_params
+    from text_to_sound_synthesis_tpu.models.diffsound import build_model
+    from text_to_sound_synthesis_tpu.utils.config import load_yaml_config
+
+    model = build_model(load_yaml_config(args.config_file))
+
+    # ---- 1. convert --------------------------------------------------------
+    try:
+        params = load_params(model, args.ckpt, args.seed)
+        import torch as _torch
+
+        has_ema = "ema" in _torch.load(args.ckpt, map_location="cpu")
+        record("convert", PASS,
+               f"{os.path.basename(args.ckpt)} -> codec/cond/diffusion trees "
+               f"({'EMA-preferred' if has_ema else 'no EMA section; raw model'})")
+    except Exception as e:  # noqa: BLE001 — gate reports, never crashes
+        record("convert", FAIL, repr(e))
+        _write_report(args, rows, t_start)
+        return 1
+
+    # ---- torch twins for parity steps --------------------------------------
+    twins, twin_err = None, None
+    try:
+        twins = TorchTwins(model, args.ckpt)
+    except Exception as e:  # noqa: BLE001
+        twin_err = repr(e)
+
+    # ---- 2. codec roundtrip -------------------------------------------------
+    rng = np.random.default_rng(args.seed)
+    gt_paths = sorted(glob(os.path.join(args.gt_mels, "*.npy"))) if args.gt_mels else []
+    if gt_paths:
+        mels01 = np.stack([np.load(p) for p in gt_paths[:4]])
+        x = (mels01 * 2.0 - 1.0)[..., None].astype(np.float32)
+        src = f"{min(4, len(gt_paths))} ground-truth mels"
+    else:
+        # synthesize at the native geometry implied by the token grid
+        down = model.time_downsample
+        x = rng.uniform(-1, 1, (2, model.token_hw[0] * down,
+                                model.token_hw[1] * down, 1)).astype(np.float32)
+        src = "synthetic mels (no --gt_mels)"
+    if twins is None:
+        record("roundtrip", SKIP, f"torch twins unavailable: {twin_err}")
+    else:
+        try:
+            idx_t, rec_t = twins.codec_roundtrip(x)
+            xrec, vq = model.codec.apply(params["codec"], jnp.asarray(x))
+            idx_j = np.asarray(vq.indices).ravel()
+            exact = bool((idx_j == idx_t).all())
+            err = float(np.abs(np.asarray(xrec) - rec_t).max())
+            ok = exact and err <= args.thresh_roundtrip
+            record("roundtrip", PASS if ok else FAIL,
+                   f"{src}: indices {'EXACT' if exact else 'MISMATCH'}, "
+                   f"decode max|d|={err:.2e} (thresh {args.thresh_roundtrip:g})")
+        except Exception as e:  # noqa: BLE001
+            record("roundtrip", FAIL, repr(e))
+
+    # ---- 3. CLIP + denoiser logit parity -----------------------------------
+    if twins is None:
+        record("logit_parity", SKIP, f"torch twins unavailable: {twin_err}")
+    else:
+        try:
+            caps = (args.caption or ["a dog barks", "rain falls on a roof"])[:2]
+            toks = np.asarray(model.text_to_tokens(caps)["token"])
+            cond_j = np.asarray(model.embed_condition(
+                params, jnp.asarray(toks, jnp.int32)))
+            cond_t = twins.encode_text(toks)
+            d_cond = float(np.abs(cond_j - cond_t).max())
+
+            K = model.diffusion.num_classes
+            seq = model.diffusion.content_seq_len
+            B = cond_j.shape[0]
+            tokens = rng.integers(0, K, (B, seq))
+            tstep = rng.integers(0, model.diffusion.diffusion_step, (B,))
+            got = np.asarray(model.diffusion.apply(
+                params["diffusion"], jnp.asarray(tokens, jnp.int32),
+                jnp.asarray(cond_j), jnp.asarray(tstep, jnp.int32),
+                method=model.diffusion.backbone_logits))
+            want = twins.denoiser_logits(tokens, cond_t, tstep)
+            scale = float(np.abs(want).max()) or 1.0
+            d_log = float(np.abs(got - want).max()) / scale
+            ok = d_cond <= args.thresh_logits and d_log <= args.thresh_logits
+            record("logit_parity", PASS if ok else FAIL,
+                   f"cond max|d|={d_cond:.2e}; denoiser rel max|d|={d_log:.2e} "
+                   f"(thresh {args.thresh_logits:g}, EMA weights)")
+        except Exception as e:  # noqa: BLE001
+            record("logit_parity", FAIL, repr(e))
+
+    # ---- 4. generation ------------------------------------------------------
+    samples_dir = os.path.join(args.outdir, "samples")
+    try:
+        import generate as gen_cli
+
+        argv_g = ["generate.py", "--config_file", args.config_file,
+                  "--ckpt", args.ckpt, "--outdir", samples_dir,
+                  "--replicate", str(args.replicate),
+                  "--sample_type", args.sample_type,
+                  "--batch", str(args.batch), "--seed", str(args.seed)]
+        if args.csv:
+            if args.limit:
+                limited = os.path.join(args.outdir, "_val_limited.csv")
+                with open(args.csv) as f, open(limited, "w", newline="") as g:
+                    w = csv_mod.writer(g)
+                    for i, row in enumerate(csv_mod.reader(f)):
+                        if i >= args.limit:
+                            break
+                        w.writerow(row)
+                argv_g += ["--csv", limited]
+            else:
+                argv_g += ["--csv", args.csv]
+        else:
+            for c in (args.caption or ["a dog barks"]):
+                argv_g += ["--caption", c]
+        if args.vocoder:
+            argv_g += ["--vocoder", args.vocoder]
+        old_argv, sys.argv = sys.argv, argv_g
+        try:
+            gen_cli.main()
+        finally:
+            sys.argv = old_argv
+        n = len(glob(os.path.join(samples_dir, "*.npy")))
+        record("generate", PASS if n else FAIL,
+               f"{n} samples (replicate={args.replicate}, "
+               f"{args.sample_type}) -> {samples_dir}")
+    except Exception as e:  # noqa: BLE001
+        record("generate", FAIL, repr(e))
+
+    # ---- 5. metrics ---------------------------------------------------------
+    if not (args.gt_mels and args.melception):
+        record("metrics", SKIP,
+               "needs --gt_mels and --melception (released 309-class weights)")
+    else:
+        try:
+            res = _run_metrics(args, samples_dir, gt_paths)
+            record("metrics", res[0], res[1])
+        except Exception as e:  # noqa: BLE001
+            # random-melception smoke runs may fail structurally (e.g. tiny
+            # proxy mels are below Inception's minimum geometry) — that is a
+            # SKIP, not a parity failure
+            record("metrics", SKIP if args.melception == "random" else FAIL,
+                   repr(e))
+
+    return _write_report(args, rows, t_start)
+
+
+def _run_metrics(args, samples_dir, gt_paths):
+    import jax
+    import jax.numpy as jnp
+
+    from text_to_sound_synthesis_tpu.evaluation.features import (
+        FakesFolder,
+        extract_features,
+    )
+    from text_to_sound_synthesis_tpu.evaluation.metrics import (
+        calculate_fid,
+        calculate_kl,
+    )
+    from text_to_sound_synthesis_tpu.models.melception import Melception
+
+    # melception weights: torch .pt (released), orbax dir, or 'random' smoke
+    mel_model = Melception(num_classes=args.num_classes)
+    probe = np.load(gt_paths[0]) if gt_paths else np.zeros((80, 848))
+    mel_params = mel_model.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1,) + probe.shape))
+    smoke = args.melception == "random"
+    if not smoke:
+        if os.path.isdir(args.melception):
+            import orbax.checkpoint as ocp
+
+            mel_params = ocp.PyTreeCheckpointer().restore(
+                os.path.abspath(args.melception),
+                item=jax.device_get(mel_params))
+            mel_params = jax.tree_util.tree_map(jnp.asarray, mel_params)
+        else:
+            from text_to_sound_synthesis_tpu.convert.torch_to_jax import (
+                convert_melception,
+                load_torch_state_dict,
+            )
+
+            sd = load_torch_state_dict(args.melception, key="model")
+            mel_params = jax.tree_util.tree_map(
+                jnp.asarray, convert_melception(sd, mel_params))
+
+    f1 = extract_features(mel_model, mel_params, FakesFolder(samples_dir),
+                          batch_size=args.batch)
+    f2 = extract_features(mel_model, mel_params, FakesFolder(args.gt_mels),
+                          batch_size=args.batch)
+    fid = calculate_fid(f1["2048"], f2["2048"])["frechet_inception_distance"]
+    kl = calculate_kl(f1["logits"], f1["file_path_"], f2["logits"],
+                      f2["file_path_"], "caps")["kullback_leibler_divergence"]
+    detail = (f"FID={fid:.4f} KL={kl:.4f} "
+              f"({'RANDOM melception — smoke only' if smoke else args.melception})")
+
+    # cross-check our metric code against the reference's own on the SAME
+    # features (Codebook/evaluation/metrics/{fid,kl}.py)
+    _add_ref_paths()
+    try:
+        import torch
+        from evaluation.metrics.fid import calculate_fid as ref_fid  # type: ignore
+        from evaluation.metrics.kl import calculate_kl as ref_kl  # type: ignore
+
+        rf = ref_fid({"2048": torch.from_numpy(np.asarray(f1["2048"], np.float64))},
+                     {"2048": torch.from_numpy(np.asarray(f2["2048"], np.float64))},
+                     "2048")["frechet_inception_distance"]
+        rk = ref_kl({"logits": torch.from_numpy(np.asarray(f1["logits"], np.float64)),
+                     "file_path_": f1["file_path_"]},
+                    {"logits": torch.from_numpy(np.asarray(f2["logits"], np.float64)),
+                     "file_path_": f2["file_path_"]},
+                    "logits", "caps")["kullback_leibler_divergence"]
+        ok = (abs(rf - fid) <= 1e-4 * max(1.0, abs(rf))
+              and abs(rk - kl) <= 1e-4 * max(1.0, abs(rk)))
+        detail += (f"; ref-code FID={rf:.4f} KL={rk:.4f} "
+                   f"({'match' if ok else 'MISMATCH'})")
+        if smoke:
+            return (SKIP, detail)
+        return (PASS if ok else FAIL, detail)
+    except Exception as e:  # noqa: BLE001
+        return (SKIP if smoke else PASS,
+                detail + f"; ref-code cross-check unavailable: {e!r}")
+
+
+def _write_report(args, rows, t_start):
+    path = os.path.join(args.outdir, "PARITY_GATE.md")
+    with open(path, "w") as f:
+        f.write("# Released-artifact parity gate\n\n")
+        f.write(f"config: `{args.config_file}`  \nckpt: `{args.ckpt}`  \n"
+                f"elapsed: {time.time() - t_start:.1f}s\n\n")
+        f.write("| step | status | detail |\n|---|---|---|\n")
+        for step, status, detail in rows:
+            f.write(f"| {step} | {status} | {detail} |\n")
+        statuses = [s for _, s, _ in rows]
+        verdict = (FAIL if FAIL in statuses
+                   else (PASS if statuses.count(PASS) >= 3 else "PARTIAL"))
+        f.write(f"\n**Gate: {verdict}** "
+                f"({statuses.count(PASS)} pass / {statuses.count(SKIP)} skip "
+                f"/ {statuses.count(FAIL)} fail)\n")
+    print(f"[gate] report -> {path}")
+    return 1 if any(s == FAIL for _, s, _ in rows) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
