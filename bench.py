@@ -137,10 +137,15 @@ def main() -> None:
     # NOTE: sync via a TINY host transfer of a slice that depends on the whole
     # computation — block_until_ready can return early through the axon relay,
     # and fetching the full mel would time the ~57 MB/s relay link instead of
-    # the chip.
+    # the chip. Dispatches are queued ASYNC and synced once at the end: a
+    # serving loop keeps the device queue non-empty, and syncing inside the
+    # loop would add one relay round-trip (~5-30 ms, CLAUDE.md) per batch of
+    # pure measurement artifact (r3: the per-iter sync cost ~55 ms over 8
+    # iters vs the trace-verified 633 ms/batch of device time).
     t0 = time.time()
-    for i in range(TIMED_ITERS):
-        out = generate(weights, cparams, jax.random.PRNGKey(2 + i), cond)
+    outs = [generate(weights, cparams, jax.random.PRNGKey(2 + i), cond)
+            for i in range(TIMED_ITERS)]
+    for out in outs:
         _ = np.asarray(out[0, :2, :2, 0])
     elapsed = time.time() - t0
 

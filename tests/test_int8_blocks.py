@@ -81,6 +81,36 @@ def test_mlp_block(data):
     _close(got, want)
 
 
+def test_mha_inline_int8_close_to_f32(data):
+    """Int8 QK^T/AV attention (T2S_ATTN_INT8 path) tracks the f32 MHA: 8-bit
+    score logits perturb softmax mildly; outputs stay within a few percent."""
+    x, _ = data
+    q = x[:Lp].astype(jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(21), (Lp, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(22), (Lp, D), jnp.bfloat16)
+    got = IB._mha_inline_int8(q, k, v, H, Lp - 5)
+    want = IB._mha_inline(q, k, v, H, Lp - 5)
+    g, w = np.asarray(got, np.float32), np.asarray(want, np.float32)
+    # relative to the typical output magnitude, not elementwise (softmax
+    # outputs cross zero)
+    denom = np.maximum(np.abs(w), np.percentile(np.abs(w), 50))
+    assert np.max(np.abs(g - w) / denom) < 0.15
+    assert np.mean(np.abs(g - w)) / np.mean(np.abs(w)) < 0.02
+
+
+def test_mlp_block_chunked(data):
+    """Chunked-hidden-dim MLP kernel == its oracle exactly, and close to the
+    unchunked block (per-chunk scales are a finer quantization, not a drift)."""
+    x, mod = data
+    w1, w2 = _qw(11, D, 4 * D), _qw(12, 4 * D, D)
+    got = IB.mlp_block_chunked(x, mod, w1, w2, block_m=32, n_chunks=4,
+                               interpret=True)
+    want = IB.mlp_chunked_reference(x, mod, w1, w2, n_chunks=4)
+    _close(got, want, tol=5e-3)
+    base = IB.mlp_block_reference(x, mod, w1, w2)
+    _close(got, base, tol=5e-2)
+
+
 def test_multi_dense_matches_single(data):
     """fused_quant_dense_multi's oracle path — shared quantize, many outputs."""
     from text_to_sound_synthesis_tpu.ops.quant import (

@@ -296,13 +296,20 @@ def _int8_backbone_hidden(
             attn_pair_block,
             cross_attn_block,
             mlp_block,
+            mlp_block_chunked,
             self_attn_block,
         )
 
         import os as _os
 
-        _bm_pref = int(_os.environ.get("T2S_MLP_BM", "272"))
-        mlp_bm = max(bm for bm in (_bm_pref, 128, 64, 32, 16, 8) if M % bm == 0)
+        # T2S_MLP_IMPL=chunked: hidden-dim-chunked MLP kernel that overlaps
+        # the GELU2/quant VPU epilogue with the next chunk's MXU dot (r3 A/B)
+        mlp_impl = _os.environ.get("T2S_MLP_IMPL", "base")
+        _bm_default = "544" if mlp_impl == "chunked" else "272"
+        _bm_pref = int(_os.environ.get("T2S_MLP_BM", _bm_default))
+        mlp_bm = max(bm for bm in (_bm_pref, 272, 128, 64, 32, 16, 8)
+                     if M % bm == 0)
+        n_chunks = int(_os.environ.get("T2S_MLP_CHUNKS", "4"))
         # A/B'd on v5e-1 (CLAUDE.md round-2 ledger): split kernels 6183
         # us/step vs merged 6287 — boundaries are free, keep the split
         pair = _os.environ.get("T2S_ATTN_PAIR", "0") == "1"
@@ -317,8 +324,12 @@ def _int8_backbone_hidden(
                                     batch=B, n_head=H, q_valid=L)
                 x = cross_attn_block(x, mod2, ck, cv, lyr.crossq, lyr.crossproj,
                                      batch=B, n_head=H, kv_valid=s_valid)
-            x = mlp_block(x, lyr.ln2_mod, lyr.fc1, lyr.fc2, block_m=mlp_bm,
-                          pipeline_halves=_os.environ.get("T2S_MLP_PIPE", "0") == "1")
+            if mlp_impl == "chunked":
+                x = mlp_block_chunked(x, lyr.ln2_mod, lyr.fc1, lyr.fc2,
+                                      block_m=mlp_bm, n_chunks=n_chunks)
+            else:
+                x = mlp_block(x, lyr.ln2_mod, lyr.fc1, lyr.fc2, block_m=mlp_bm,
+                              pipeline_halves=_os.environ.get("T2S_MLP_PIPE", "0") == "1")
     else:
         dense = _DENSE_IMPLS[impl]
         for lyr, (ck, cv), (mod1, mod2) in zip(qp.layers, kv_seq, mods):

@@ -71,10 +71,77 @@ def _par_params():
     return pltpu.CompilerParams(dimension_semantics=("parallel",))
 
 
+def _mha_inline_int8(q, k, v, n_head: int, kv_valid: int,
+                     head_group: int = _HEAD_GROUP):
+    """Int8 twin of ``_mha_inline``: QK^T and AV run as int8 MXU dots.
+
+    Factorization notes: q/k are per-ROW quantized over the full model dim —
+    a row scale is valid for any column (head) slice, so one quantize serves
+    all heads. P is per-row quantized post-softmax; V per-COLUMN, so
+    (P V)_{ij} dequantizes as int32 * (sp_i * sv_j). Softmax stays f32.
+    Opt-in via T2S_ATTN_INT8=1; accuracy covered by the oracle tests and the
+    drift gate (scores gain ~1e-2 relative noise from 8-bit logits).
+
+    r3 A/B (v5e-1 trace): REGRESSION in context — 6183 -> 7260 us/step. The
+    three extra VPU quantize passes (q, k rows; p per group; v columns) cost
+    more than the K=64/N=64 int8 dots save; the step is VPU-pass-bound, not
+    MXU-rate-bound (tools/bench_mlp_ablate.py tells the same story for the
+    MLP). Kept as the documented negative for VERDICT r2 #1(b).
+    """
+    Lq, D = q.shape
+    Lkv = k.shape[0]
+    hd = D // n_head
+    scale = 1.0 / math.sqrt(hd)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, Lkv), 1)
+    gsz = min(head_group, n_head)
+
+    qq, sq = _quantize_rows(q.astype(jnp.float32))          # (Lq, D), (Lq, 1)
+    kq, sk = _quantize_rows(k.astype(jnp.float32))
+    vf = v.astype(jnp.float32)
+    sv = jnp.maximum(jnp.max(jnp.abs(vf), axis=0, keepdims=True), 1e-8) / 127.0
+    vq = jnp.clip(jnp.round(vf / sv), -127, 127).astype(jnp.int8)  # (Lkv, D)
+
+    outs = [None] * n_head
+    for g in range(0, n_head, gsz):
+        hs = range(g, min(g + gsz, n_head))
+        scores = []
+        for h in hs:
+            sl = slice(h * hd, (h + 1) * hd)
+            acc = jax.lax.dot_general(qq[:, sl], kq[:, sl],
+                                      (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            scores.append(acc.astype(jnp.float32) * (sq * sk[:, 0][None, :]))
+        s_all = jnp.concatenate(scores, axis=0) * scale      # (gsz*Lq, Lkv)
+        s_all = jnp.where(col >= kv_valid, -jnp.inf, s_all)
+        m = jnp.max(s_all, axis=-1, keepdims=True)
+        p = jnp.exp(s_all - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        pq, sp = _quantize_rows(p)                           # (gsz*Lq, Lkv)
+        for j, h in enumerate(hs):
+            sl = slice(h * hd, (h + 1) * hd)
+            ph = pq[j * Lq:(j + 1) * Lq, :]
+            acc = jnp.dot(ph, vq[:, sl], preferred_element_type=jnp.int32)
+            outs[h] = acc.astype(jnp.float32) * (sp[j * Lq:(j + 1) * Lq] * sv[:, sl])
+    return jnp.concatenate(outs, axis=1)                     # (Lq, D) f32
+
+
+_ATTN_INT8 = _os.environ.get("T2S_ATTN_INT8", "0") == "1"
+
+
+# r3 A/B (v5e-1 trace): folding the div into the AV output was a
+# REGRESSION (self_attn 106.7 -> 112.9 us/layer; 16 narrow (272, 64)
+# divides waste VPU lanes vs one full-width (2176, 272) pass). Off.
+_FOLD_DIV = _os.environ.get("T2S_SOFTMAX_FOLD_DIV", "0") == "1"
+
+
 def _mha_inline(q, k, v, n_head: int, kv_valid: int, head_group: int = _HEAD_GROUP):
     """(Lq, D) x (Lkv, D) f32/bf16 -> (Lq, D) f32. Head scores are stacked
     along rows in groups of ``head_group`` so the softmax runs on full
-    128-lane rows while the f32 score buffer stays within VMEM."""
+    128-lane rows while the f32 score buffer stays within VMEM.
+
+    T2S_SOFTMAX_FOLD_DIV=1 folds the softmax 1/sum into the (Lq, hd)
+    AV outputs instead of the (Lq, Lkv) probability matrix — measured
+    SLOWER (see _FOLD_DIV note); kept as a documented negative."""
     Lq, D = q.shape
     Lkv = k.shape[0]
     hd = D // n_head
@@ -95,12 +162,24 @@ def _mha_inline(q, k, v, n_head: int, kv_valid: int, head_group: int = _HEAD_GRO
         s_all = jnp.where(col >= kv_valid, -jnp.inf, s_all)
         m = jnp.max(s_all, axis=-1, keepdims=True)
         p = jnp.exp(s_all - m)
-        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+        denom = jnp.sum(p, axis=-1, keepdims=True)       # (gsz*Lq, 1) f32
+        if not _FOLD_DIV:
+            p = p / denom
+        p = p.astype(v.dtype)
         for j, h in enumerate(hs):
             sl = slice(h * hd, (h + 1) * hd)
             ph = p[j * Lq:(j + 1) * Lq, :]
-            outs[h] = jnp.dot(ph, v[:, sl], preferred_element_type=jnp.float32)
+            o = jnp.dot(ph, v[:, sl], preferred_element_type=jnp.float32)
+            if _FOLD_DIV:
+                o = o / denom[j * Lq:(j + 1) * Lq]
+            outs[h] = o
     return jnp.concatenate(outs, axis=1)                 # (Lq, D) f32
+
+
+def _mha(q, k, v, n_head: int, kv_valid: int):
+    if _ATTN_INT8:
+        return _mha_inline_int8(q, k, v, n_head, kv_valid)
+    return _mha_inline(q, k, v, n_head, kv_valid)
 
 
 # ---------------------------------------------------------------------------
@@ -119,7 +198,7 @@ def _self_attn_kernel(x_ref, mod_ref,
     q = _deq(_int8_dot(qx, wq_ref), s, sq_ref, bq_ref).astype(jnp.bfloat16)
     k = _deq(_int8_dot(qx, wk_ref), s, sk_ref, bk_ref).astype(jnp.bfloat16)
     v = _deq(_int8_dot(qx, wv_ref), s, sv_ref, bv_ref).astype(jnp.bfloat16)
-    y = _mha_inline(q, k, v, n_head, q_valid).astype(jnp.bfloat16)
+    y = _mha(q, k, v, n_head, q_valid).astype(jnp.bfloat16)
     qy, sy = _quantize_rows(y.astype(jnp.float32))
     o = _deq(_int8_dot(qy, wp_ref), sy, sp_ref, bp_ref) + x
     out_ref[:, :] = o.astype(out_ref.dtype)
@@ -164,7 +243,7 @@ def _cross_attn_kernel(x_ref, mod_ref, ck_ref, cv_ref,
                   mod_ref[1:2, :].astype(jnp.float32), "adaln")
     qx, s = _quantize_rows(h)
     q = _deq(_int8_dot(qx, wq_ref), s, sq_ref, bq_ref).astype(jnp.bfloat16)
-    y = _mha_inline(q, ck_ref[:, :], cv_ref[:, :], n_head, kv_valid)
+    y = _mha(q, ck_ref[:, :], cv_ref[:, :], n_head, kv_valid)
     qy, sy = _quantize_rows(y.astype(jnp.bfloat16).astype(jnp.float32))
     o = _deq(_int8_dot(qy, wp_ref), sy, sp_ref, bp_ref) + x
     out_ref[:, :] = o.astype(out_ref.dtype)
@@ -213,7 +292,7 @@ def _attn_pair_kernel(x_ref, mods_ref, ck_ref, cv_ref,
     q = _deq(_int8_dot(qx, wq_ref), s, sq_ref, bq_ref).astype(jnp.bfloat16)
     k = _deq(_int8_dot(qx, wk_ref), s, sk_ref, bk_ref).astype(jnp.bfloat16)
     v = _deq(_int8_dot(qx, wv_ref), s, sv_ref, bv_ref).astype(jnp.bfloat16)
-    y = _mha_inline(q, k, v, n_head, q_valid).astype(jnp.bfloat16)
+    y = _mha(q, k, v, n_head, q_valid).astype(jnp.bfloat16)
     qy, sy = _quantize_rows(y.astype(jnp.float32))
     x = _deq(_int8_dot(qy, wp_ref), sy, sp_ref, bp_ref) + x
     # cross-attention sub-block (x never leaves VMEM between the two)
@@ -221,7 +300,7 @@ def _attn_pair_kernel(x_ref, mods_ref, ck_ref, cv_ref,
                    mods_ref[3:4, :].astype(jnp.float32), "adaln")
     q2x, s2 = _quantize_rows(h2)
     q2 = _deq(_int8_dot(q2x, cq_ref), s2, scq_ref, bcq_ref).astype(jnp.bfloat16)
-    y2 = _mha_inline(q2, ck_ref[:, :], cv_ref[:, :], n_head, kv_valid)
+    y2 = _mha(q2, ck_ref[:, :], cv_ref[:, :], n_head, kv_valid)
     qy2, sy2 = _quantize_rows(y2.astype(jnp.bfloat16).astype(jnp.float32))
     x = _deq(_int8_dot(qy2, cp_ref), sy2, scp_ref, bcp_ref) + x
     out_ref[:, :] = x.astype(out_ref.dtype)
@@ -330,6 +409,94 @@ def mlp_block(x, mod, w1, w2, *, block_m: int = 128, interpret: bool = False,
         compiler_params=_par_params(),
         interpret=interpret,
     )(x, mod, w1.w_q, w2.w_q, w1.scale, w2.scale, w1.bias, w2.bias)
+
+
+# ---------------------------------------------------------------------------
+# MLP block, hidden-dim-chunked variant
+# ---------------------------------------------------------------------------
+
+def _mlp_chunked_kernel(x_ref, mod_ref, w1_ref, w2_ref, s1_ref, s2_ref,
+                        b1_ref, b2_ref, out_ref, *, n_chunks: int):
+    """fc1/gelu/quant/fc2 processed in ``n_chunks`` slices of the hidden dim.
+
+    Why: the serial chain LN -> fc1 -> GELU2+quant -> fc2 leaves the VPU
+    epilogue (dequant, sigmoid, abs-max, round on the (M, 4D) intermediate)
+    un-overlapped with the MXU. Chunking the hidden dim makes chunk c+1's
+    fc1 dot independent of chunk c's epilogue, exposing MXU(c+1) || VPU(c)
+    to the Mosaic scheduler, and shrinks the live intermediate from
+    (M, 4D) f32 to (M, 4D/n) — enabling much larger row blocks.
+
+    Numerics note: each chunk's rows get their OWN abs-max quant scale
+    (group-quantization with group = 4D/n). This is a finer quantization
+    than the full-row scale — validated against ``mlp_chunked_reference``
+    exactly and against the f32 MLP in tests/test_int8_blocks.py.
+    """
+    x = x_ref[:, :].astype(jnp.float32)
+    h = _prologue(x, mod_ref[0:1, :].astype(jnp.float32),
+                  mod_ref[1:2, :].astype(jnp.float32), "ln")
+    qx, s = _quantize_rows(h)
+    Dh = w1_ref.shape[1]
+    ck = Dh // n_chunks
+    y = x  # residual folded into the f32 accumulator
+    for c in range(n_chunks):
+        sl = slice(c * ck, (c + 1) * ck)
+        acc1 = jnp.dot(qx, w1_ref[:, sl], preferred_element_type=jnp.int32)
+        u = acc1.astype(jnp.float32) * (s * s1_ref[0:1, sl]) + b1_ref[0:1, sl]
+        u = _gelu2(u)
+        qu, su = _quantize_rows(u)
+        acc2 = jnp.dot(qu, w2_ref[sl, :], preferred_element_type=jnp.int32)
+        y = y + acc2.astype(jnp.float32) * (su * s2_ref[0:1, :])
+    out_ref[:, :] = (y + b2_ref[0:1, :]).astype(out_ref.dtype)
+
+
+def mlp_block_chunked(x, mod, w1, w2, *, block_m: int = 544,
+                      n_chunks: int = 4, interpret: bool = False):
+    """Chunked-hidden-dim twin of ``mlp_block`` (see kernel docstring)."""
+    M, D = x.shape
+    Dh = w1.w_q.shape[1]
+    assert M % block_m == 0, (M, block_m)
+    assert Dh % n_chunks == 0, (Dh, n_chunks)
+    return pl.pallas_call(
+        partial(_mlp_chunked_kernel, n_chunks=n_chunks),
+        out_shape=jax.ShapeDtypeStruct((M, D), x.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(M // block_m,),
+            in_specs=[
+                pl.BlockSpec((block_m, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((D, Dh), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Dh, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Dh), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Dh), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block_m, D), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        compiler_params=_par_params(),
+        interpret=interpret,
+    )(x, mod, w1.w_q, w2.w_q, w1.scale, w2.scale, w1.bias, w2.bias)
+
+
+def mlp_chunked_reference(x, mod, w1, w2, *, n_chunks: int = 4):
+    """jnp oracle for ``mlp_block_chunked`` (per-chunk row scales)."""
+    xf = x.astype(jnp.float32)
+    h = _prologue(xf, mod[0:1].astype(jnp.float32), mod[1:2].astype(jnp.float32),
+                  "ln")
+    q, s = _quantize_rows(h)
+    Dh = w1.w_q.shape[1]
+    ck = Dh // n_chunks
+    y = xf
+    for c in range(n_chunks):
+        sl = slice(c * ck, (c + 1) * ck)
+        acc1 = jnp.dot(q.astype(jnp.int32), w1.w_q[:, sl].astype(jnp.int32))
+        u = acc1.astype(jnp.float32) * (s * w1.scale[:, sl]) + w1.bias[:, sl]
+        u = _gelu2(u)
+        qu, su = _quantize_rows(u)
+        acc2 = jnp.dot(qu.astype(jnp.int32), w2.w_q[sl, :].astype(jnp.int32))
+        y = y + acc2.astype(jnp.float32) * (su * w2.scale)
+    return (y + w2.bias).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,239 @@
+#!/usr/bin/env python
+"""Ablate the int8 MLP block kernel to locate its time (r3 perf push).
+
+Trace says mlp_block = ~135 us/layer vs a 93 us pure-int8-dot floor. Each
+variant below removes one piece of the in-kernel chain; the deltas attribute
+the gap to MXU dot rate vs the VPU prologue/epilogue passes.
+
+Timing: in-jit lax.scan with a carried data dependency (CLAUDE.md: never
+trust relay-side micro timings without it), tiny dependent-slice sync.
+"""
+
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from text_to_sound_synthesis_tpu.ops.quant import (
+    _gelu2,
+    _prologue,
+    _quantize_rows,
+    quantize_weight,
+)
+from text_to_sound_synthesis_tpu.ops import int8_block as IB
+
+M, D, DH = 2176, 1024, 4096
+ITERS = 100
+
+
+def make_variant(name, block_m=272):
+    """Returns pallas_call f(x, mod, w1q, w2q, s1, s2, b1, b2) -> (M, D) bf16."""
+
+    def kernel(x_ref, mod_ref, w1_ref, w2_ref, s1_ref, s2_ref, b1_ref, b2_ref,
+               out_ref):
+        x = x_ref[:, :].astype(jnp.float32)
+        if name == "dots_only":
+            qx = x_ref[:, :].astype(jnp.int8)
+            acc1 = jnp.dot(qx, w1_ref[:, :], preferred_element_type=jnp.int32)
+            qu = acc1.astype(jnp.int8)
+            acc2 = jnp.dot(qu, w2_ref[:, :], preferred_element_type=jnp.int32)
+            out_ref[:, :] = acc2.astype(out_ref.dtype)
+            return
+        if name == "no_prologue":
+            h = x
+        elif name == "ln_onepass":
+            # mean/var from one traversal: E[x], E[x^2]
+            s1 = jnp.sum(x, axis=-1, keepdims=True)
+            s2 = jnp.sum(x * x, axis=-1, keepdims=True)
+            mean = s1 / x.shape[-1]
+            var = s2 / x.shape[-1] - mean * mean
+            h = (x - mean) * jax.lax.rsqrt(var + 1e-6)
+            h = h * mod_ref[0:1, :].astype(jnp.float32) + mod_ref[1:2, :].astype(jnp.float32)
+        else:
+            h = _prologue(x, mod_ref[0:1, :].astype(jnp.float32),
+                          mod_ref[1:2, :].astype(jnp.float32), "ln")
+        qx, s = _quantize_rows(h)
+        acc1 = jnp.dot(qx, w1_ref[:, :], preferred_element_type=jnp.int32)
+        if name == "mid_bf16":
+            # the whole (M, 4D) intermediate chain in bf16: if the VPU packs
+            # bf16 2/lane this halves the dominant VPU cost
+            u = (acc1.astype(jnp.bfloat16) * (s.astype(jnp.bfloat16)
+                 * s1_ref[0:1, :].astype(jnp.bfloat16))
+                 + b1_ref[0:1, :].astype(jnp.bfloat16))
+            u = u * jax.nn.sigmoid(1.702 * u)
+            amax = jnp.max(jnp.abs(u), axis=-1, keepdims=True)
+            su = (jnp.maximum(amax, 1e-6) / 127.0)
+            qu = jnp.clip(jnp.round(u / su), -127, 127).astype(jnp.int8)
+            acc2 = jnp.dot(qu, w2_ref[:, :], preferred_element_type=jnp.int32)
+            y = (acc2.astype(jnp.float32)
+                 * (su.astype(jnp.float32) * s2_ref[0:1, :]) + b2_ref[0:1, :] + x)
+            out_ref[:, :] = y.astype(out_ref.dtype)
+            return
+        if name == "mid_bf16c":
+            # bf16 deq + manual sigmoid (exp/recip lower fine in bf16; only
+            # jax.nn.sigmoid's internal const broadcast and bf16 round are
+            # toolchain-blocked); f32 just for the final round
+            one = jnp.bfloat16(1.0)
+            u = (acc1.astype(jnp.bfloat16) * (s.astype(jnp.bfloat16)
+                 * s1_ref[0:1, :].astype(jnp.bfloat16))
+                 + b1_ref[0:1, :].astype(jnp.bfloat16))
+            z = jnp.bfloat16(-1.702) * u
+            u = u * (one / (one + jnp.exp(z)))
+            amax = jnp.max(jnp.abs(u), axis=-1, keepdims=True).astype(jnp.float32)
+            su = jnp.maximum(amax, 1e-6) / 127.0
+            qu = jnp.clip(jnp.round(u.astype(jnp.float32) / su), -127, 127
+                          ).astype(jnp.int8)
+            acc2 = jnp.dot(qu, w2_ref[:, :], preferred_element_type=jnp.int32)
+            y = acc2.astype(jnp.float32) * (su * s2_ref[0:1, :]) + b2_ref[0:1, :] + x
+            out_ref[:, :] = y.astype(out_ref.dtype)
+            return
+        if name == "mid_bf16b":
+            # deq + GELU2 in bf16; upcast only for the int8 round/cast
+            u = (acc1.astype(jnp.bfloat16) * (s.astype(jnp.bfloat16)
+                 * s1_ref[0:1, :].astype(jnp.bfloat16))
+                 + b1_ref[0:1, :].astype(jnp.bfloat16))
+            u = u * jax.nn.sigmoid(1.702 * u)
+            amax = jnp.max(jnp.abs(u), axis=-1, keepdims=True).astype(jnp.float32)
+            su = jnp.maximum(amax, 1e-6) / 127.0
+            qu = jnp.clip(jnp.round(u.astype(jnp.float32) / su), -127, 127
+                          ).astype(jnp.int8)
+            acc2 = jnp.dot(qu, w2_ref[:, :], preferred_element_type=jnp.int32)
+            y = acc2.astype(jnp.float32) * (su * s2_ref[0:1, :]) + b2_ref[0:1, :] + x
+            out_ref[:, :] = y.astype(out_ref.dtype)
+            return
+        if name == "fast_sigmoid":
+            # sigmoid(z) ~ 0.5 + 0.5 z/(1+|z|): no exp, pure cheap VPU ops
+            u = acc1.astype(jnp.float32) * (s * s1_ref[0:1, :]) + b1_ref[0:1, :]
+            z = 1.702 * u
+            u = u * (0.5 + 0.5 * z / (1.0 + jnp.abs(z)))
+            qu, su = _quantize_rows(u)
+            acc2 = jnp.dot(qu, w2_ref[:, :], preferred_element_type=jnp.int32)
+            y = acc2.astype(jnp.float32) * (su * s2_ref[0:1, :]) + b2_ref[0:1, :] + x
+            out_ref[:, :] = y.astype(out_ref.dtype)
+            return
+        if name == "no_deq_mid":
+            u32 = acc1
+            qu = jnp.clip(u32 >> 7, -127, 127).astype(jnp.int8)
+            su = s
+        else:
+            u = acc1.astype(jnp.float32) * (s * s1_ref[0:1, :]) + b1_ref[0:1, :]
+            if name != "no_gelu":
+                u = _gelu2(u)
+            if name == "no_quant_mid":
+                qu = jnp.clip(u, -127, 127).astype(jnp.int8)
+                su = s
+            else:
+                qu, su = _quantize_rows(u)
+        acc2 = jnp.dot(qu, w2_ref[:, :], preferred_element_type=jnp.int32)
+        y = acc2.astype(jnp.float32) * (su * s2_ref[0:1, :]) + b2_ref[0:1, :] + x
+        out_ref[:, :] = y.astype(out_ref.dtype)
+
+    def f(x, mod, w1, w2, s1, s2, b1, b2):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((M, D), jnp.bfloat16),
+            grid_spec=pl.GridSpec(
+                grid=(M // block_m,),
+                in_specs=[
+                    pl.BlockSpec((block_m, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((2, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((D, DH), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((DH, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, DH), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, DH), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((block_m, D), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(x, mod, w1, w2, s1, s2, b1, b2)
+
+    return f
+
+
+def main():
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    except Exception:
+        pass
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (M, D), jnp.bfloat16)
+    mod = jnp.stack([jnp.ones((D,), jnp.float32),
+                     jnp.zeros((D,), jnp.float32)])
+    w1 = quantize_weight(jax.random.normal(jax.random.PRNGKey(1), (D, DH)) * 0.02)
+    w2 = quantize_weight(jax.random.normal(jax.random.PRNGKey(2), (DH, D)) * 0.02)
+    args = (mod, w1.w_q, w2.w_q, w1.scale, w2.scale, w1.bias, w2.bias)
+    flops = 2.0 * M * D * DH * 2
+
+    def timed(name, fn):
+        """Device-trace timing: wall-clock through the axon relay is a lie
+        even for scan-chained runs (r2 ledger) — parse the Chrome trace and
+        report the kernel's own device time."""
+        import glob
+        import gzip
+        import json
+
+        @jax.jit
+        def run(x):
+            def body(h, _):
+                y = fn(h, *args)
+                return y, ()
+            return jax.lax.scan(body, x, length=ITERS)[0]
+
+        try:
+            out = run(x)
+            _ = np.asarray(out).ravel()[:2]
+            log_dir = f"/tmp/t2s_mlp_ablate/{name}"
+            os.system(f"rm -rf {log_dir}")
+            with jax.profiler.trace(log_dir):
+                out = run(x)
+                _ = np.asarray(out).ravel()[:2]
+            files = sorted(glob.glob(f"{log_dir}/**/*.trace.json.gz",
+                                     recursive=True), key=os.path.getmtime)
+            with gzip.open(files[-1], "rt") as f:
+                trace = json.load(f)
+            per = {}
+            for ev in trace.get("traceEvents", []):
+                if ev.get("ph") == "X" and "dur" in ev:
+                    per[ev["name"]] = per.get(ev["name"], 0.0) + ev["dur"]
+            # the kernel of interest: biggest closed_call / custom-call row
+            rows = [(v, k) for k, v in per.items()
+                    if "closed_call" in k or "custom" in k or "fusion" in k]
+            if not rows:
+                rows = [(v, k) for k, v in per.items()
+                        if k.startswith("while")]
+            us, which = max(rows)
+            dt = us / ITERS * 1e-6
+        except Exception as e:  # noqa: BLE001
+            print(f"  {name:28s} FAILED {type(e).__name__}: {str(e)[:100]}")
+            return
+        print(f"  {name:28s} {dt*1e6:8.1f} us/iter (device)  "
+              f"{flops/dt/1e12:6.1f} TOPS-equiv   [{which[:40]}]")
+
+    names = sys.argv[1:] or ["full", "dots_only", "no_gelu", "no_quant_mid",
+                             "no_deq_mid", "no_prologue", "ln_onepass"]
+    print(f"MLP block {M}x{D}x{DH}, block_m=272, {ITERS} chained iters")
+    for n in names:
+        if n == "lib_base":
+            timed(n, lambda x, *a: IB.mlp_block(x, mod, w1, w2, block_m=272))
+        elif n == "lib_chunked":
+            timed(n, lambda x, *a: IB.mlp_block_chunked(x, mod, w1, w2,
+                                                        block_m=544, n_chunks=4))
+        else:
+            timed(n, make_variant(n))
+
+
+if __name__ == "__main__":
+    main()
