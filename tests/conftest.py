@@ -9,16 +9,22 @@ uninitialized at conftest time, so this is safe).
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# T2S_TEST_TPU=1 leaves the real backend in place for the hardware-only
+# gates (tests/test_int8_drift_gate.py); default is the 8-device virtual CPU
+_USE_TPU = os.environ.get("T2S_TEST_TPU", "0") == "1"
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        os.environ["XLA_FLAGS"] = (
+            xla_flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 # NOTE: no persistent compile cache here — with the axon remote-compile relay
 # the cached CPU AOT artifacts can target a different machine config (observed
 # "+prefer-no-scatter not supported on host" warnings, potential SIGILL).

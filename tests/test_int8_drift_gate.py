@@ -1,0 +1,49 @@
+"""Pinned int8 serving-drift gate (VERDICT r2 #3).
+
+The distribution-level acceptance criterion for the int8 engine: the FID
+between bf16-generated and int8-generated sample sets must not exceed the
+bf16 seed-to-seed resampling floor (drift ratio <= 1.0 x floor, with a small
+noise allowance). Measured on v5e-1 at flagship geometry: 0.70x on random
+weights, 0.44x after 40 warmup steps (r2), re-confirmed r3 with 500 warmup
+steps / 64 clips per set — see CLAUDE.md ledger.
+
+TPU-only: the flagship sampler is impractical on the 1-core CPU suite (the
+int8 MATH is still covered there by tests/test_int8_runtime.py's tightened
+rel/corr/TV gates and the kernel-vs-oracle tests). Run on hardware with:
+    T2S_TEST_TPU=1 python -m pytest tests/test_int8_drift_gate.py -q
+(conftest.py otherwise forces the 8-device virtual CPU platform).
+"""
+
+import os
+import sys
+
+import pytest
+
+import jax
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+# the gate threshold: quantization may not move the output distribution
+# further than reseeding does (1.0), plus 50% allowance for the FID
+# estimator's own variance at 24-64 clips/set (measured ratios sit at
+# 0.4-0.7x, so a regression that doubles the drift still fails)
+MAX_DRIFT_RATIO = 1.5
+
+
+@pytest.mark.slow
+def test_int8_drift_within_reseed_floor():
+    if jax.default_backend() != "tpu":
+        pytest.skip("flagship drift gate runs on TPU only (see module docstring)")
+    from tests.test_composite import _has_bpe
+
+    if not _has_bpe():
+        pytest.skip("BPE artifact unavailable")
+
+    import eval_int8_drift as tool
+
+    out = tool.main(["--config_file",
+                     os.path.join(REPO, "configs/diffsound_audiocaps.yaml"),
+                     "--train_steps", "40", "--clips", "24"])
+    assert out["fid_bf16_seed_floor"] > 0
+    assert out["drift_ratio"] <= MAX_DRIFT_RATIO, out

@@ -60,8 +60,11 @@ def test_logits_match_fp_path(setup):
     g = np.asarray(got, np.float64).ravel()
     rel = np.linalg.norm(g - w) / (np.linalg.norm(w) + 1e-9)
     corr = np.corrcoef(w, g)[0, 1]
-    assert rel < 0.08, rel
-    assert corr > 0.995, corr
+    # measured on this engine: rel ~0.017, corr ~0.99985 (r3). Thresholds
+    # pinned at ~2x the measured drift so a kernel regression that doubles
+    # the error FAILS (VERDICT r2 #3), with headroom for backend jitter.
+    assert rel < 0.035, rel
+    assert corr > 0.9995, corr
 
 
 def test_logits_every_timestep_finite(setup):
@@ -109,7 +112,8 @@ def test_sampler_tracks_fp_sampler_distribution(setup):
     p = h_fp / h_fp.sum()
     q = h_q / h_q.sum()
     tv = 0.5 * np.abs(p - q).sum()
-    assert tv < 0.25, tv
+    # measured ~0.039 (r3); pinned at ~2x so doubled drift fails
+    assert tv < 0.08, tv
 
 
 def test_sharded_serving_8dev_mesh(setup):

@@ -144,6 +144,87 @@ def main():
     dt, _ = timed(fast, dparams, jax.random.PRNGKey(0), cond32)
     report("diffsound_fast25step_batch32", 32.0 / dt, "clips/sec")
 
+    # ---- 7. honest end-to-end: caption text in -> 22.05 kHz wav out --------
+    # the EXACT reference inference path (generate_samples_batch.py:143-186):
+    # host BPE -> CLIP text tower -> 100-step int8 sampler -> VQGAN decode ->
+    # MelGAN vocode -> host wav write. Two rows: the full loop including the
+    # waveform fetch (through the axon relay that fetch is transport-bound:
+    # ~28 MB int16/batch at ~57 MB/s; a production host pays ~5 ms over PCIe),
+    # and the compute row (host BPE + all device compute, tiny-slice sync).
+    try:
+        from text_to_sound_synthesis_tpu.models.clip.text_model import (
+            CLIPTextEmbedding,
+        )
+        from text_to_sound_synthesis_tpu.models.clip.tokenize import Tokenize
+
+        tokz = Tokenize()
+    except FileNotFoundError as e:
+        print(f"skipping e2e_caption_to_wav rows: {e}", file=sys.stderr)
+        tokz = None
+    if tokz is not None:
+        from text_to_sound_synthesis_tpu.utils.io import wav_bytes
+
+        clip = CLIPTextEmbedding(dtype=jnp.bfloat16)
+        tok0 = jnp.zeros((1, 77), jnp.int32)
+        kcnt = [0]
+
+        def mk(s):
+            kcnt[0] += 1
+            return (jax.random.normal(jax.random.PRNGKey(kcnt[0]), s.shape,
+                                      jnp.float32) * 0.02).astype(s.dtype)
+
+        clip_params = jax.tree_util.tree_map(
+            mk, jax.eval_shape(lambda: clip.init(jax.random.PRNGKey(0), tok0)))
+
+        @jax.jit
+        def cap2pcm(clip_params, qp, cparams, gparams, key, tokens):
+            cond = clip.apply(clip_params, tokens)
+            toks = sample_tokens_int8(qp, sched, key, cond.astype(jnp.float32),
+                                      truncation_r=0.85)
+            grid = toks.reshape(-1, 53, 5).swapaxes(1, 2)
+            mel = codec.apply(cparams, grid, method=codec.decode_code)
+            spec01 = (mel[..., 0] + 1.0) * 0.5
+            wav = gen.apply(gparams, jnp.swapaxes(spec01, 1, 2))[..., 0]
+            return (jnp.clip(wav, -1, 1) * 32767.0).astype(jnp.int16)
+
+        captions = ["a dog barks while rain falls on a roof",
+                    "an engine revs and tires squeal",
+                    "waves crash against the shore",
+                    "a woman speaks followed by applause",
+                    "thunder rumbles in the distance",
+                    "birds chirp in a quiet forest",
+                    "a train passes blowing its horn",
+                    "water drips into a metal sink"]
+
+        def one_batch(seed, fetch_wav):
+            toks = jnp.asarray(tokz.get_tokens(captions)["token"])  # host BPE
+            pcm = cap2pcm(clip_params, qp, cparams, gparams,
+                          jax.random.PRNGKey(seed), toks)
+            if not fetch_wav:
+                return np.asarray(pcm[0, :4])
+            host = np.asarray(pcm).astype(np.float32) / 32767.0
+            return [wav_bytes(22050, w, subtype="PCM_16") for w in host]
+
+        one_batch(0, True)  # warm compile + page the path
+        t0 = time.time()
+        for i in range(2):
+            one_batch(1 + i, True)
+        report("e2e_caption_to_wav_batch8", 16.0 / (time.time() - t0),
+               "clips/sec")
+        # compute row: queue all batches (incl. per-batch host BPE) before the
+        # single sync — a serving loop keeps the device queue full, and a
+        # per-batch sync would bill one relay RTT (~90 ms) per batch
+        t0 = time.time()
+        pcs = []
+        for i in range(3):
+            toks = jnp.asarray(tokz.get_tokens(captions)["token"])
+            pcs.append(cap2pcm(clip_params, qp, cparams, gparams,
+                               jax.random.PRNGKey(10 + i), toks))
+        for p_ in pcs:
+            _ = np.asarray(p_[0, :4])
+        report("e2e_caption_to_wav_compute_batch8", 24.0 / (time.time() - t0),
+               "clips/sec")
+
     # 6. input pipeline: native C++ batched loader vs pure-numpy (host-side)
     import os as _os
     import tempfile

@@ -41,7 +41,7 @@ DEFAULT_CAPTIONS = [
 ]
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config_file", required=True)
     p.add_argument("--ckpt", default="random")
@@ -58,7 +58,7 @@ def main():
                         "a few dozen optimizer steps give the weights "
                         "realistic statistics). Uses the bench_train recipe "
                         "(batch 20, AdamW) so the compile cache is shared.")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
@@ -210,6 +210,7 @@ def main():
                           / max(out["fid_bf16_seed_floor"], 1e-9))
     print(json.dumps({k: float(f"{v:.3e}") if isinstance(v, float) else v
                       for k, v in out.items()}))
+    return out
 
 
 if __name__ == "__main__":
