@@ -91,6 +91,37 @@ def bench_vqgan(dtype):
                       "steps_per_sec": round(1.0 / dt, 3),
                       "clips_per_sec_per_chip": round(B / dt, 2)}))
 
+    if "--trace" in sys.argv:
+        _trace_step("vqgan", lambda: step(state, lp_params, mel, lr))
+
+
+def _trace_step(name, run_once, top=25):
+    """Aggregate per-fusion device time for one training step."""
+    import glob
+    import gzip
+    import json as _json
+    from collections import defaultdict
+
+    import jax
+
+    log_dir = f"/tmp/t2s_train_trace/{name}"
+    __import__("os").system(f"rm -rf {log_dir}")
+    with jax.profiler.trace(log_dir):
+        out = run_once()
+        _ = jax.device_get(jax.tree_util.tree_leaves(out)[0])
+    files = sorted(glob.glob(f"{log_dir}/**/*.trace.json.gz", recursive=True))
+    with gzip.open(files[-1], "rt") as f:
+        trace = _json.load(f)
+    per = defaultdict(float)
+    counts = defaultdict(int)
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") == "X" and "dur" in ev:
+            per[ev["name"]] += ev["dur"]
+            counts[ev["name"]] += 1
+    for us, n, k in sorted(((v, counts[k], k) for k, v in per.items()),
+                           reverse=True)[:top]:
+        print(f"{us/1e3:9.2f} ms x{n:<5d} {k[:90]}", file=sys.stderr)
+
 
 def bench_melgan(dtype):
     import jax
