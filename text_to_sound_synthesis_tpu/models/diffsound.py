@@ -229,6 +229,40 @@ class Diffsound:
             num_timesteps=self.diffusion.diffusion_step,
         )
 
+    def calibrate_serving_engine(
+        self,
+        params,
+        qp,
+        key: jax.Array,
+        cond_tokens: jnp.ndarray,
+        *,
+        sample_type: str = "top0.85r",
+        margin: float = 1.0,
+    ):
+        """Static-quantization calibration pass: run the dynamic int8 sampler
+        on ``cond_tokens`` (representative captions), record per-site
+        activation maxima, and return the engine with calibrated static
+        scales baked in (``act_scales``) — the abs-max-free serving mode
+        (models/diffusion/calibrate.py). Top-r sampling only, mirroring
+        ``generate_int8``.
+        """
+        from .diffusion.calibrate import calibrate_act_scales
+
+        head = sample_type.split(",")[0]
+        if not (head.startswith("top") and head.endswith("r")):
+            raise ValueError(
+                f"int8 serving supports top-r truncation sampling, got {sample_type!r}")
+        r = float(head[3:-1])
+        _, skip_step, resample_q = parse_sample_type(sample_type)
+        if resample_q:
+            raise ValueError("int8 serving does not support q-resample wrappers")
+        cond_emb = self.embed_condition(params, cond_tokens)
+        scales = calibrate_act_scales(
+            qp, self.diffusion.schedule(), key, cond_emb,
+            truncation_r=r, skip_step=skip_step, margin=margin,
+        )
+        return qp.replace(act_scales=scales)
+
     def generate_int8(
         self,
         params,

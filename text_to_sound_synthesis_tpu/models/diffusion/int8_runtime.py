@@ -89,6 +89,13 @@ class Int8Denoiser(struct.PyTreeNode):
     n_head: int = struct.field(pytree_node=False)
     seq_len: int = struct.field(pytree_node=False)
     num_timesteps: int = struct.field(pytree_node=False)
+    # optional CALIBRATED static activation scales: per-layer 6-tuples of
+    # Python floats (attn_in, attn_out, cross_in, cross_out, mlp_in, mlp_mid)
+    # from models/diffusion/calibrate.py. Static (not traced) — baked into
+    # the kernels as constants, deleting the dynamic abs-max VPU passes.
+    # None (the default) = per-token dynamic quantization.
+    act_scales: Optional[Tuple[Tuple[float, ...], ...]] = struct.field(
+        pytree_node=False, default=None)
 
 
 def _ada_table(ln: dict, num_steps: int) -> jnp.ndarray:
@@ -288,6 +295,12 @@ def _int8_backbone_hidden(
         mods = tuple((lyr.ada1[t].reshape(2, D), lyr.ada2[t].reshape(2, D))
                      for lyr in qp.layers)
 
+    # calibrated static activation scales (see calibrate.py): per-layer
+    # 6-tuples (attn_in, attn_out, cross_in, cross_out, mlp_in, mlp_mid)
+    act_s = qp.act_scales
+    if act_s is None:
+        act_s = ((None,) * 6,) * len(qp.layers)
+
     # python loop over UNSTACKED per-layer weights: a rolled/stacked scan
     # would dynamic-slice each weight into a fresh HBM copy per layer
     # (Pallas operands must be dense buffers; profiled ~0.9 ms/step)
@@ -313,44 +326,53 @@ def _int8_backbone_hidden(
         # A/B'd on v5e-1 (CLAUDE.md round-2 ledger): split kernels 6183
         # us/step vs merged 6287 — boundaries are free, keep the split
         pair = _os.environ.get("T2S_ATTN_PAIR", "0") == "1"
-        for lyr, (ck, cv), (mod1, mod2) in zip(qp.layers, kv_seq, mods):
+        for lyr, (ck, cv), (mod1, mod2), ls in zip(qp.layers, kv_seq, mods,
+                                                   act_s):
             if pair:
                 x = attn_pair_block(
                     x, jnp.concatenate([mod1, mod2], axis=0), ck, cv,
                     lyr.q, lyr.k, lyr.v, lyr.proj, lyr.crossq, lyr.crossproj,
-                    batch=B, n_head=H, q_valid=L, kv_valid=s_valid)
+                    batch=B, n_head=H, q_valid=L, kv_valid=s_valid,
+                    static_s=ls[:4])
             else:
                 x = self_attn_block(x, mod1, lyr.q, lyr.k, lyr.v, lyr.proj,
-                                    batch=B, n_head=H, q_valid=L)
+                                    batch=B, n_head=H, q_valid=L,
+                                    static_s=ls[:2])
                 x = cross_attn_block(x, mod2, ck, cv, lyr.crossq, lyr.crossproj,
-                                     batch=B, n_head=H, kv_valid=s_valid)
+                                     batch=B, n_head=H, kv_valid=s_valid,
+                                     static_s=ls[2:4])
             if mlp_impl == "chunked":
                 x = mlp_block_chunked(x, lyr.ln2_mod, lyr.fc1, lyr.fc2,
-                                      block_m=mlp_bm, n_chunks=n_chunks)
+                                      block_m=mlp_bm, n_chunks=n_chunks,
+                                      static_s=ls[4:6])
             else:
                 x = mlp_block(x, lyr.ln2_mod, lyr.fc1, lyr.fc2, block_m=mlp_bm,
-                              pipeline_halves=_os.environ.get("T2S_MLP_PIPE", "0") == "1")
+                              pipeline_halves=_os.environ.get("T2S_MLP_PIPE", "0") == "1",
+                              static_s=ls[4:6])
     else:
         dense = _DENSE_IMPLS[impl]
-        for lyr, (ck, cv), (mod1, mod2) in zip(qp.layers, kv_seq, mods):
+        for lyr, (ck, cv), (mod1, mod2), ls in zip(qp.layers, kv_seq, mods,
+                                                   act_s):
             # q/k/v share one AdaLN + quantize (in-kernel / CSE'd for xla)
-            q, k, v = dense(x, (lyr.q, lyr.k, lyr.v), norm="adaln", mod=mod1, **dkw)
+            q, k, v = dense(x, (lyr.q, lyr.k, lyr.v), norm="adaln", mod=mod1,
+                            s_static=ls[0], **dkw)
             if impl == "pallas_dense":
                 y = fused_mha(q, k, v, batch=B, n_head=H, kv_valid=L)
             else:
                 y = _attend(heads(q), heads(k), heads(v)).reshape(M, D)
-            (x,) = dense(y, (lyr.proj,), residual=x, **dkw)
+            (x,) = dense(y, (lyr.proj,), residual=x, s_static=ls[1], **dkw)
 
-            (q2,) = dense(x, (lyr.crossq,), norm="adaln", mod=mod2, **dkw)
+            (q2,) = dense(x, (lyr.crossq,), norm="adaln", mod=mod2,
+                          s_static=ls[2], **dkw)
             if impl == "pallas_dense":
                 y = fused_mha(q2, ck, cv, batch=B, n_head=H, kv_valid=s_valid)
             else:
                 y = _attend(heads(q2), ck, cv).reshape(M, D)
-            (x,) = dense(y, (lyr.crossproj,), residual=x, **dkw)
+            (x,) = dense(y, (lyr.crossproj,), residual=x, s_static=ls[3], **dkw)
 
             (h,) = dense(x, (lyr.fc1,), norm="ln", mod=lyr.ln2_mod,
-                         act="gelu2", **dkw)
-            (x,) = dense(h, (lyr.fc2,), residual=x, **dkw)
+                         act="gelu2", s_static=ls[4], **dkw)
+            (x,) = dense(h, (lyr.fc2,), residual=x, s_static=ls[5], **dkw)
 
     return x, L_pad
 

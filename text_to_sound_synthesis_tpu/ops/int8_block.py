@@ -36,22 +36,34 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .quant import QuantizedWeight, _gelu2, _prologue, _quantize_rows
+from .quant import (QuantizedWeight, _gelu2, _prologue, _quantize_rows,
+                    _quantize_static)
 
 __all__ = [
     "self_attn_block",
     "cross_attn_block",
     "attn_pair_block",
     "mlp_block",
+    "mlp_block_chunked",
     "self_attn_block_reference",
     "cross_attn_block_reference",
     "attn_pair_block_reference",
     "mlp_block_reference",
+    "mlp_chunked_reference",
 ]
 
 
 def _deq(acc, s_row, scale_ref, bias_ref):
     return acc.astype(jnp.float32) * (s_row * scale_ref[0:1, :]) + bias_ref[0:1, :]
+
+
+def _quant(h, s_static):
+    """Dynamic per-row quantize, or static per-tensor when a calibrated
+    Python-float scale is provided (deletes the abs-max VPU pass — the
+    static-quant serving mode, docs/ROOFLINE.md)."""
+    if s_static is None:
+        return _quantize_rows(h)
+    return _quantize_static(h, s_static)
 
 
 def _int8_dot(q, w_ref):
@@ -190,30 +202,36 @@ def _self_attn_kernel(x_ref, mod_ref,
                       wq_ref, wk_ref, wv_ref, wp_ref,
                       sq_ref, sk_ref, sv_ref, sp_ref,
                       bq_ref, bk_ref, bv_ref, bp_ref,
-                      out_ref, *, n_head: int, q_valid: int):
+                      out_ref, *, n_head: int, q_valid: int, static_s=None):
+    s_in, s_out = static_s if static_s is not None else (None, None)
     x = x_ref[:, :].astype(jnp.float32)
     h = _prologue(x, mod_ref[0:1, :].astype(jnp.float32),
                   mod_ref[1:2, :].astype(jnp.float32), "adaln")
-    qx, s = _quantize_rows(h)
+    qx, s = _quant(h, s_in)
     q = _deq(_int8_dot(qx, wq_ref), s, sq_ref, bq_ref).astype(jnp.bfloat16)
     k = _deq(_int8_dot(qx, wk_ref), s, sk_ref, bk_ref).astype(jnp.bfloat16)
     v = _deq(_int8_dot(qx, wv_ref), s, sv_ref, bv_ref).astype(jnp.bfloat16)
     y = _mha(q, k, v, n_head, q_valid).astype(jnp.bfloat16)
-    qy, sy = _quantize_rows(y.astype(jnp.float32))
+    qy, sy = _quant(y.astype(jnp.float32), s_out)
     o = _deq(_int8_dot(qy, wp_ref), sy, sp_ref, bp_ref) + x
     out_ref[:, :] = o.astype(out_ref.dtype)
 
 
 def self_attn_block(x, mod, wq, wk, wv, wproj, *, batch: int, n_head: int,
-                    q_valid: int, interpret: bool = False):
-    """x (B*Lp, D) bf16 -> x + proj(MHA(adaln(x))) in one kernel."""
+                    q_valid: int, interpret: bool = False, static_s=None):
+    """x (B*Lp, D) bf16 -> x + proj(MHA(adaln(x))) in one kernel.
+
+    ``static_s``: optional (s_in, s_out) calibrated Python-float activation
+    scales; when given, both quantize sites use static per-tensor scales
+    (no abs-max pass)."""
     M, D = x.shape
     Lp = M // batch
     vec = pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
     mat = pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
     row = pl.BlockSpec((Lp, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_self_attn_kernel, n_head=n_head, q_valid=q_valid),
+        partial(_self_attn_kernel, n_head=n_head, q_valid=q_valid,
+                static_s=static_s),
         out_shape=jax.ShapeDtypeStruct((M, D), x.dtype),
         grid_spec=pl.GridSpec(
             grid=(batch,),
@@ -237,21 +255,23 @@ def self_attn_block(x, mod, wq, wk, wv, wproj, *, batch: int, n_head: int,
 
 def _cross_attn_kernel(x_ref, mod_ref, ck_ref, cv_ref,
                        wq_ref, wp_ref, sq_ref, sp_ref, bq_ref, bp_ref,
-                       out_ref, *, n_head: int, kv_valid: int):
+                       out_ref, *, n_head: int, kv_valid: int, static_s=None):
+    s_in, s_out = static_s if static_s is not None else (None, None)
     x = x_ref[:, :].astype(jnp.float32)
     h = _prologue(x, mod_ref[0:1, :].astype(jnp.float32),
                   mod_ref[1:2, :].astype(jnp.float32), "adaln")
-    qx, s = _quantize_rows(h)
+    qx, s = _quant(h, s_in)
     q = _deq(_int8_dot(qx, wq_ref), s, sq_ref, bq_ref).astype(jnp.bfloat16)
     y = _mha(q, ck_ref[:, :], cv_ref[:, :], n_head, kv_valid)
-    qy, sy = _quantize_rows(y.astype(jnp.bfloat16).astype(jnp.float32))
+    qy, sy = _quant(y.astype(jnp.bfloat16).astype(jnp.float32), s_out)
     o = _deq(_int8_dot(qy, wp_ref), sy, sp_ref, bp_ref) + x
     out_ref[:, :] = o.astype(out_ref.dtype)
 
 
 def cross_attn_block(x, mod, ck, cv, wq, wproj, *, batch: int, n_head: int,
-                     kv_valid: int, interpret: bool = False):
-    """x (B*Lp, D); ck/cv (B*Skv, D) bf16 flat cond K/V."""
+                     kv_valid: int, interpret: bool = False, static_s=None):
+    """x (B*Lp, D); ck/cv (B*Skv, D) bf16 flat cond K/V. ``static_s``:
+    optional (s_in, s_out) calibrated static activation scales."""
     M, D = x.shape
     Lp = M // batch
     Skv = ck.shape[0] // batch
@@ -260,7 +280,8 @@ def cross_attn_block(x, mod, ck, cv, wq, wproj, *, batch: int, n_head: int,
     row = pl.BlockSpec((Lp, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
     kvrow = pl.BlockSpec((Skv, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        partial(_cross_attn_kernel, n_head=n_head, kv_valid=kv_valid),
+        partial(_cross_attn_kernel, n_head=n_head, kv_valid=kv_valid,
+                static_s=static_s),
         out_shape=jax.ShapeDtypeStruct((M, D), x.dtype),
         grid_spec=pl.GridSpec(
             grid=(batch,),
@@ -283,32 +304,35 @@ def _attn_pair_kernel(x_ref, mods_ref, ck_ref, cv_ref,
                       wq_ref, wk_ref, wv_ref, wp_ref, cq_ref, cp_ref,
                       sq_ref, sk_ref, sv_ref, sp_ref, scq_ref, scp_ref,
                       bq_ref, bk_ref, bv_ref, bp_ref, bcq_ref, bcp_ref,
-                      out_ref, *, n_head: int, q_valid: int, kv_valid: int):
+                      out_ref, *, n_head: int, q_valid: int, kv_valid: int,
+                      static_s=None):
+    s_in, s_out, s2_in, s2_out = (static_s if static_s is not None
+                                  else (None, None, None, None))
     x = x_ref[:, :].astype(jnp.float32)
     # self-attention sub-block
     h = _prologue(x, mods_ref[0:1, :].astype(jnp.float32),
                   mods_ref[1:2, :].astype(jnp.float32), "adaln")
-    qx, s = _quantize_rows(h)
+    qx, s = _quant(h, s_in)
     q = _deq(_int8_dot(qx, wq_ref), s, sq_ref, bq_ref).astype(jnp.bfloat16)
     k = _deq(_int8_dot(qx, wk_ref), s, sk_ref, bk_ref).astype(jnp.bfloat16)
     v = _deq(_int8_dot(qx, wv_ref), s, sv_ref, bv_ref).astype(jnp.bfloat16)
     y = _mha(q, k, v, n_head, q_valid).astype(jnp.bfloat16)
-    qy, sy = _quantize_rows(y.astype(jnp.float32))
+    qy, sy = _quant(y.astype(jnp.float32), s_out)
     x = _deq(_int8_dot(qy, wp_ref), sy, sp_ref, bp_ref) + x
     # cross-attention sub-block (x never leaves VMEM between the two)
     h2 = _prologue(x, mods_ref[2:3, :].astype(jnp.float32),
                    mods_ref[3:4, :].astype(jnp.float32), "adaln")
-    q2x, s2 = _quantize_rows(h2)
+    q2x, s2 = _quant(h2, s2_in)
     q2 = _deq(_int8_dot(q2x, cq_ref), s2, scq_ref, bcq_ref).astype(jnp.bfloat16)
     y2 = _mha(q2, ck_ref[:, :], cv_ref[:, :], n_head, kv_valid)
-    qy2, sy2 = _quantize_rows(y2.astype(jnp.bfloat16).astype(jnp.float32))
+    qy2, sy2 = _quant(y2.astype(jnp.bfloat16).astype(jnp.float32), s2_out)
     x = _deq(_int8_dot(qy2, cp_ref), sy2, scp_ref, bcp_ref) + x
     out_ref[:, :] = x.astype(out_ref.dtype)
 
 
 def attn_pair_block(x, mods, ck, cv, wq, wk, wv, wproj, wcrossq, wcrossproj, *,
                     batch: int, n_head: int, q_valid: int, kv_valid: int,
-                    interpret: bool = False):
+                    interpret: bool = False, static_s=None):
     """Self-attention + cross-attention sub-blocks fused into ONE kernel.
 
     x (B*Lp, D) bf16; mods (4, D) f32 = [self scale; self shift; cross scale;
@@ -325,7 +349,7 @@ def attn_pair_block(x, mods, ck, cv, wq, wk, wv, wproj, wcrossq, wcrossproj, *,
     kvrow = pl.BlockSpec((Skv, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         partial(_attn_pair_kernel, n_head=n_head, q_valid=q_valid,
-                kv_valid=kv_valid),
+                kv_valid=kv_valid, static_s=static_s),
         out_shape=jax.ShapeDtypeStruct((M, D), x.dtype),
         grid_spec=pl.GridSpec(
             grid=(batch,),
@@ -346,13 +370,15 @@ def attn_pair_block(x, mods, ck, cv, wq, wk, wv, wproj, wcrossq, wcrossproj, *,
 
 
 def attn_pair_block_reference(x, mods, ck, cv, wq, wk, wv, wproj, wcrossq,
-                              wcrossproj, *, batch, n_head, q_valid, kv_valid):
+                              wcrossproj, *, batch, n_head, q_valid, kv_valid,
+                              static_s=None):
     """jnp oracle: the two single-block references composed."""
+    ss, cs = (static_s[:2], static_s[2:]) if static_s is not None else (None, None)
     y = self_attn_block_reference(x, mods[0:2], wq, wk, wv, wproj, batch=batch,
-                                  n_head=n_head, q_valid=q_valid)
+                                  n_head=n_head, q_valid=q_valid, static_s=ss)
     return cross_attn_block_reference(y, mods[2:4], ck, cv, wcrossq, wcrossproj,
                                       batch=batch, n_head=n_head,
-                                      kv_valid=kv_valid)
+                                      kv_valid=kv_valid, static_s=cs)
 
 
 # ---------------------------------------------------------------------------
@@ -360,14 +386,16 @@ def attn_pair_block_reference(x, mods, ck, cv, wq, wk, wv, wproj, wcrossq,
 # ---------------------------------------------------------------------------
 
 def _mlp_kernel(x_ref, mod_ref, w1_ref, w2_ref, s1_ref, s2_ref, b1_ref, b2_ref,
-                out_ref, *, pipeline_halves: bool = False):
+                out_ref, *, pipeline_halves: bool = False, static_s=None):
+    s_in, s_mid = static_s if static_s is not None else (None, None)
+
     def half(x):
         h = _prologue(x, mod_ref[0:1, :].astype(jnp.float32),
                       mod_ref[1:2, :].astype(jnp.float32), "ln")
-        qx, s = _quantize_rows(h)
+        qx, s = _quant(h, s_in)
         u = _deq(_int8_dot(qx, w1_ref), s, s1_ref, b1_ref)
         u = _gelu2(u)
-        qu, su = _quantize_rows(u)
+        qu, su = _quant(u, s_mid)
         return _deq(_int8_dot(qu, w2_ref), su, s2_ref, b2_ref) + x
 
     if not pipeline_halves:
@@ -381,15 +409,18 @@ def _mlp_kernel(x_ref, mod_ref, w1_ref, w2_ref, s1_ref, s2_ref, b1_ref, b2_ref,
 
 
 def mlp_block(x, mod, w1, w2, *, block_m: int = 128, interpret: bool = False,
-              pipeline_halves: bool = False):
+              pipeline_halves: bool = False, static_s=None):
     """x (M, D) -> x + fc2(gelu2(fc1(ln(x)))) in one kernel. Row-wise: any
     block_m dividing M (128 keeps fc1's int32 accumulator + both weights
-    comfortably in VMEM)."""
+    comfortably in VMEM). ``static_s``: optional (s_in, s_mid) calibrated
+    static activation scales (the mid site covers the (M, 4D) GELU2 output —
+    the most expensive abs-max pass in the step, docs/ROOFLINE.md)."""
     M, D = x.shape
     Dh = w1.w_q.shape[1]
     assert M % block_m == 0, (M, block_m)
     return pl.pallas_call(
-        partial(_mlp_kernel, pipeline_halves=pipeline_halves),
+        partial(_mlp_kernel, pipeline_halves=pipeline_halves,
+                static_s=static_s),
         out_shape=jax.ShapeDtypeStruct((M, D), x.dtype),
         grid_spec=pl.GridSpec(
             grid=(M // block_m,),
@@ -416,7 +447,8 @@ def mlp_block(x, mod, w1, w2, *, block_m: int = 128, interpret: bool = False,
 # ---------------------------------------------------------------------------
 
 def _mlp_chunked_kernel(x_ref, mod_ref, w1_ref, w2_ref, s1_ref, s2_ref,
-                        b1_ref, b2_ref, out_ref, *, n_chunks: int):
+                        b1_ref, b2_ref, out_ref, *, n_chunks: int,
+                        static_s=None):
     """fc1/gelu/quant/fc2 processed in ``n_chunks`` slices of the hidden dim.
 
     Why: the serial chain LN -> fc1 -> GELU2+quant -> fc2 leaves the VPU
@@ -431,10 +463,11 @@ def _mlp_chunked_kernel(x_ref, mod_ref, w1_ref, w2_ref, s1_ref, s2_ref,
     than the full-row scale — validated against ``mlp_chunked_reference``
     exactly and against the f32 MLP in tests/test_int8_blocks.py.
     """
+    s_in, s_mid = static_s if static_s is not None else (None, None)
     x = x_ref[:, :].astype(jnp.float32)
     h = _prologue(x, mod_ref[0:1, :].astype(jnp.float32),
                   mod_ref[1:2, :].astype(jnp.float32), "ln")
-    qx, s = _quantize_rows(h)
+    qx, s = _quant(h, s_in)
     Dh = w1_ref.shape[1]
     ck = Dh // n_chunks
     y = x  # residual folded into the f32 accumulator
@@ -443,21 +476,22 @@ def _mlp_chunked_kernel(x_ref, mod_ref, w1_ref, w2_ref, s1_ref, s2_ref,
         acc1 = jnp.dot(qx, w1_ref[:, sl], preferred_element_type=jnp.int32)
         u = acc1.astype(jnp.float32) * (s * s1_ref[0:1, sl]) + b1_ref[0:1, sl]
         u = _gelu2(u)
-        qu, su = _quantize_rows(u)
+        qu, su = _quant(u, s_mid)
         acc2 = jnp.dot(qu, w2_ref[sl, :], preferred_element_type=jnp.int32)
         y = y + acc2.astype(jnp.float32) * (su * s2_ref[0:1, :])
     out_ref[:, :] = (y + b2_ref[0:1, :]).astype(out_ref.dtype)
 
 
 def mlp_block_chunked(x, mod, w1, w2, *, block_m: int = 544,
-                      n_chunks: int = 4, interpret: bool = False):
+                      n_chunks: int = 4, interpret: bool = False,
+                      static_s=None):
     """Chunked-hidden-dim twin of ``mlp_block`` (see kernel docstring)."""
     M, D = x.shape
     Dh = w1.w_q.shape[1]
     assert M % block_m == 0, (M, block_m)
     assert Dh % n_chunks == 0, (Dh, n_chunks)
     return pl.pallas_call(
-        partial(_mlp_chunked_kernel, n_chunks=n_chunks),
+        partial(_mlp_chunked_kernel, n_chunks=n_chunks, static_s=static_s),
         out_shape=jax.ShapeDtypeStruct((M, D), x.dtype),
         grid_spec=pl.GridSpec(
             grid=(M // block_m,),
@@ -479,12 +513,13 @@ def mlp_block_chunked(x, mod, w1, w2, *, block_m: int = 544,
     )(x, mod, w1.w_q, w2.w_q, w1.scale, w2.scale, w1.bias, w2.bias)
 
 
-def mlp_chunked_reference(x, mod, w1, w2, *, n_chunks: int = 4):
+def mlp_chunked_reference(x, mod, w1, w2, *, n_chunks: int = 4, static_s=None):
     """jnp oracle for ``mlp_block_chunked`` (per-chunk row scales)."""
+    s_in, s_mid = static_s if static_s is not None else (None, None)
     xf = x.astype(jnp.float32)
     h = _prologue(xf, mod[0:1].astype(jnp.float32), mod[1:2].astype(jnp.float32),
                   "ln")
-    q, s = _quantize_rows(h)
+    q, s = _quant(h, s_in)
     Dh = w1.w_q.shape[1]
     ck = Dh // n_chunks
     y = xf
@@ -493,7 +528,7 @@ def mlp_chunked_reference(x, mod, w1, w2, *, n_chunks: int = 4):
         acc1 = jnp.dot(q.astype(jnp.int32), w1.w_q[:, sl].astype(jnp.int32))
         u = acc1.astype(jnp.float32) * (s * w1.scale[:, sl]) + w1.bias[:, sl]
         u = _gelu2(u)
-        qu, su = _quantize_rows(u)
+        qu, su = _quant(u, s_mid)
         acc2 = jnp.dot(qu.astype(jnp.int32), w2.w_q[sl, :].astype(jnp.int32))
         y = y + acc2.astype(jnp.float32) * (su * w2.scale)
     return (y + w2.bias).astype(x.dtype)
@@ -503,13 +538,13 @@ def mlp_chunked_reference(x, mod, w1, w2, *, n_chunks: int = 4):
 # jnp reference twins (test oracles / CPU fallback)
 # ---------------------------------------------------------------------------
 
-def _ref_dense(x, w: QuantizedWeight, norm="none", mod=None):
+def _ref_dense(x, w: QuantizedWeight, norm="none", mod=None, s_static=None):
     if norm == "none":
         h = x.astype(jnp.float32)
     else:
         h = _prologue(x.astype(jnp.float32), mod[0:1].astype(jnp.float32),
                       mod[1:2].astype(jnp.float32), norm)
-    q, s = _quantize_rows(h)
+    q, s = _quant(h, s_static)
     acc = jnp.dot(q.astype(jnp.int32), w.w_q.astype(jnp.int32))
     return acc.astype(jnp.float32) * (s * w.scale) + w.bias
 
@@ -522,11 +557,13 @@ def _ref_mha(q, k, v, batch, n_head, kv_valid):
                          kv_valid=kv_valid).astype(jnp.float32)
 
 
-def self_attn_block_reference(x, mod, wq, wk, wv, wproj, *, batch, n_head, q_valid):
+def self_attn_block_reference(x, mod, wq, wk, wv, wproj, *, batch, n_head,
+                              q_valid, static_s=None):
+    s_in, s_out = static_s if static_s is not None else (None, None)
     xf = x.astype(jnp.float32)
     h = _prologue(xf, mod[0:1].astype(jnp.float32), mod[1:2].astype(jnp.float32),
                   "adaln")
-    q_, s = _quantize_rows(h)
+    q_, s = _quant(h, s_in)
 
     def dense(w):
         acc = jnp.dot(q_.astype(jnp.int32), w.w_q.astype(jnp.int32))
@@ -534,26 +571,29 @@ def self_attn_block_reference(x, mod, wq, wk, wv, wproj, *, batch, n_head, q_val
 
     y = _ref_mha(dense(wq), dense(wk), dense(wv), batch, n_head, q_valid)
     y = y.astype(jnp.bfloat16).astype(jnp.float32)
-    qy, sy = _quantize_rows(y)
+    qy, sy = _quant(y, s_out)
     acc = jnp.dot(qy.astype(jnp.int32), wproj.w_q.astype(jnp.int32))
     o = acc.astype(jnp.float32) * (sy * wproj.scale) + wproj.bias + xf
     return o.astype(x.dtype)
 
 
-def cross_attn_block_reference(x, mod, ck, cv, wq, wproj, *, batch, n_head, kv_valid):
+def cross_attn_block_reference(x, mod, ck, cv, wq, wproj, *, batch, n_head,
+                               kv_valid, static_s=None):
+    s_in, s_out = static_s if static_s is not None else (None, None)
     xf = x.astype(jnp.float32)
-    q = _ref_dense(x, wq, "adaln", mod).astype(jnp.bfloat16)
+    q = _ref_dense(x, wq, "adaln", mod, s_static=s_in).astype(jnp.bfloat16)
     y = _ref_mha(q, ck, cv, batch, n_head, kv_valid)
-    qy, sy = _quantize_rows(y.astype(jnp.bfloat16).astype(jnp.float32))
+    qy, sy = _quant(y.astype(jnp.bfloat16).astype(jnp.float32), s_out)
     acc = jnp.dot(qy.astype(jnp.int32), wproj.w_q.astype(jnp.int32))
     o = acc.astype(jnp.float32) * (sy * wproj.scale) + wproj.bias + xf
     return o.astype(x.dtype)
 
 
-def mlp_block_reference(x, mod, w1, w2):
+def mlp_block_reference(x, mod, w1, w2, static_s=None):
+    s_in, s_mid = static_s if static_s is not None else (None, None)
     xf = x.astype(jnp.float32)
-    u = _gelu2(_ref_dense(x, w1, "ln", mod))
-    qu, su = _quantize_rows(u)
+    u = _gelu2(_ref_dense(x, w1, "ln", mod, s_static=s_in))
+    qu, su = _quant(u, s_mid)
     acc = jnp.dot(qu.astype(jnp.int32), w2.w_q.astype(jnp.int32))
     o = acc.astype(jnp.float32) * (su * w2.scale) + w2.bias + xf
     return o.astype(x.dtype)

@@ -94,13 +94,24 @@ def _quantize_rows(h):
     return q, s
 
 
+def _quantize_static(h, s: float):
+    """Static-scale symmetric int8: ``s`` is a CALIBRATED per-tensor Python
+    float baked into the trace, so no abs-max reduction pass runs on the VPU
+    (that pass is what per-token dynamic quantization pays per site — see
+    docs/ROOFLINE.md). Values beyond ±127·s saturate. Returns (int8 values,
+    the scalar dequant scale)."""
+    q = jnp.clip(jnp.round(h * (1.0 / s)), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def _kernel(x_ref, mod_ref, w_ref, scale_ref, bias_ref, res_ref, out_ref,
-            *, norm: str, act: str, use_residual: bool):
+            *, norm: str, act: str, use_residual: bool, s_static=None):
     x = x_ref[:, :].astype(jnp.float32)
     mod_scale = mod_ref[0:1, :].astype(jnp.float32)
     mod_shift = mod_ref[1:2, :].astype(jnp.float32)
     h = _prologue(x, mod_scale, mod_shift, norm)
-    q, s = _quantize_rows(h)
+    q, s = (_quantize_rows(h) if s_static is None
+            else _quantize_static(h, s_static))
     acc = jnp.dot(q, w_ref[:, :], preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * (s * scale_ref[0:1, :]) + bias_ref[0:1, :]
     if act == "gelu2":
@@ -130,11 +141,14 @@ def fused_quant_dense(
     block_m: int = 128,
     out_dtype: jnp.dtype = jnp.bfloat16,
     interpret: bool = False,
+    s_static: Optional[float] = None,
 ) -> jnp.ndarray:
     """Fused (norm -> quant -> int8 matmul -> dequant/bias/act/residual).
 
     M must already be padded to a multiple of ``block_m`` by the caller (the
     int8 runtime pads the token dim once for the whole network).
+    ``s_static``: optional calibrated static activation scale (see
+    ``_quantize_static``).
     """
     M, K = x.shape
     Kw, N = w.w_q.shape
@@ -152,7 +166,8 @@ def fused_quant_dense(
     grid = (M // block_m, N // bn)
 
     return pl.pallas_call(
-        partial(_kernel, norm=norm, act=act, use_residual=use_residual),
+        partial(_kernel, norm=norm, act=act, use_residual=use_residual,
+                s_static=s_static),
         out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
         grid_spec=pl.GridSpec(
             grid=grid,
@@ -181,7 +196,7 @@ def fused_quant_dense(
 
 
 def _kernel_multi(x_ref, mod_ref, *rest, norm: str, act: str, n_w: int,
-                  use_residual: bool):
+                  use_residual: bool, s_static=None):
     w_refs = rest[:n_w]
     scale_refs = rest[n_w:2 * n_w]
     bias_refs = rest[2 * n_w:3 * n_w]
@@ -191,7 +206,8 @@ def _kernel_multi(x_ref, mod_ref, *rest, norm: str, act: str, n_w: int,
     x = x_ref[:, :].astype(jnp.float32)
     h = _prologue(x, mod_ref[0:1, :].astype(jnp.float32),
                   mod_ref[1:2, :].astype(jnp.float32), norm)
-    q, s = _quantize_rows(h)
+    q, s = (_quantize_rows(h) if s_static is None
+            else _quantize_static(h, s_static))
     for i in range(n_w):
         acc = jnp.dot(q, w_refs[i][:, :], preferred_element_type=jnp.int32)
         y = acc.astype(jnp.float32) * (s * scale_refs[i][0:1, :]) + bias_refs[i][0:1, :]
@@ -215,6 +231,7 @@ def fused_quant_dense_multi(
     block_m: int = 128,
     out_dtype: jnp.dtype = jnp.bfloat16,
     interpret: bool = False,
+    s_static: Optional[float] = None,
 ):
     """V2 kernel: one (norm -> quantize) prologue feeding SEVERAL int8 dots.
 
@@ -271,7 +288,7 @@ def fused_quant_dense_multi(
 
     outs = pl.pallas_call(
         partial(_kernel_multi, norm=norm, act=act, n_w=n_w,
-                use_residual=use_residual),
+                use_residual=use_residual, s_static=s_static),
         out_shape=out_shape,
         grid_spec=pl.GridSpec(grid=grid, in_specs=in_specs, out_specs=out_specs),
         interpret=interpret,
@@ -288,6 +305,7 @@ def quant_dense_xla(
     act: str = "none",
     residual: Optional[jnp.ndarray] = None,
     out_dtype: jnp.dtype = jnp.bfloat16,
+    s_static: Optional[float] = None,
 ) -> jnp.ndarray:
     """Portable/fallback int8 path: same math as the kernel, expressed as XLA
     ops with an int8 x int8 -> int32 ``jnp.dot``. Bit-identical to
@@ -305,7 +323,8 @@ def quant_dense_xla(
     if mod is None:
         mod = jnp.zeros((2, x.shape[-1]), jnp.float32)
     h = _prologue(x.astype(jnp.float32), mod[0:1], mod[1:2], norm)
-    q, s = _quantize_rows(h)
+    q, s = (_quantize_rows(h) if s_static is None
+            else _quantize_static(h, s_static))
     acc = jnp.dot(q, w.w_q, preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * (s * w.scale) + w.bias
     if act == "gelu2":
@@ -326,12 +345,14 @@ def quant_dense_reference(
     act: str = "none",
     residual: Optional[jnp.ndarray] = None,
     out_dtype: jnp.dtype = jnp.bfloat16,
+    s_static: Optional[float] = None,
 ) -> jnp.ndarray:
     """jnp twin of the kernel — identical math, any backend (test oracle)."""
     if mod is None:
         mod = jnp.zeros((2, x.shape[-1]), jnp.float32)
     h = _prologue(x.astype(jnp.float32), mod[0:1], mod[1:2], norm)
-    q, s = _quantize_rows(h)
+    q, s = (_quantize_rows(h) if s_static is None
+            else _quantize_static(h, s_static))
     acc = jnp.dot(q.astype(jnp.int32), w.w_q.astype(jnp.int32))
     y = acc.astype(jnp.float32) * (s * w.scale) + w.bias
     if act == "gelu2":

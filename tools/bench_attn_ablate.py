@@ -189,7 +189,15 @@ def main():
                              "no_scores"]
     print(f"self-attn block B={B} Lp={Lp} D={D} H={H}, {ITERS} chained iters")
     for n in names:
-        timed(n, make_variant(n))
+        if n == "lib_base":
+            timed(n, lambda x, m, *a: IB.self_attn_block(
+                x, m, *ws, batch=B, n_head=H, q_valid=Lp - 7))
+        elif n == "lib_static":
+            timed(n, lambda x, m, *a: IB.self_attn_block(
+                x, m, *ws, batch=B, n_head=H, q_valid=Lp - 7,
+                static_s=(0.05, 0.05)))
+        else:
+            timed(n, make_variant(n))
 
 
 if __name__ == "__main__":

@@ -228,6 +228,11 @@ def main():
     for n in names:
         if n == "lib_base":
             timed(n, lambda x, *a: IB.mlp_block(x, mod, w1, w2, block_m=272))
+        elif n == "lib_static":
+            # calibrated static activation scales: no abs-max passes (the
+            # scale VALUES don't change the instruction count)
+            timed(n, lambda x, *a: IB.mlp_block(x, mod, w1, w2, block_m=272,
+                                                static_s=(0.05, 0.05)))
         elif n == "lib_chunked":
             timed(n, lambda x, *a: IB.mlp_block_chunked(x, mod, w1, w2,
                                                         block_m=544, n_chunks=4))

@@ -138,6 +138,14 @@ def main():
     dt, _ = timed(int8, qp, jax.random.PRNGKey(0), cond8)
     report("diffsound_100step_batch8_int8", 8.0 / dt, "clips/sec")
 
+    # static-calibrated activation scales (calibrate.py): same kernels minus
+    # the dynamic abs-max VPU passes. Uniform placeholder scales — the scale
+    # VALUES don't change the instruction count, so the timing is the
+    # production static-engine timing (real deployments calibrate first).
+    qp_s = qp.replace(act_scales=((0.05,) * 6,) * 19)
+    dt, _ = timed(int8, qp_s, jax.random.PRNGKey(0), cond8)
+    report("diffsound_100step_batch8_int8_static", 8.0 / dt, "clips/sec")
+
     cond32 = jax.random.normal(jax.random.PRNGKey(8), (32, 77, 512))
     fast = jax.jit(lambda p, k, c: sample_tokens_fused(den, p, k, c,
                                                        truncation_r=0.85, skip_step=3))

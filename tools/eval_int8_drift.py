@@ -52,6 +52,9 @@ def main(argv=None):
     p.add_argument("--captions", default=None, help="txt file, one caption/line")
     p.add_argument("--sample_type", default="top0.85r")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--static", action="store_true",
+                   help="calibrate static activation scales on the first "
+                        "caption batch and evaluate the static-quant engine")
     p.add_argument("--train_steps", type=int, default=0,
                    help="briefly train the denoiser on synthetic batches "
                         "first (random init draws near-degenerate samples; "
@@ -73,10 +76,13 @@ def main(argv=None):
     from text_to_sound_synthesis_tpu.models.melception import Melception
     from text_to_sound_synthesis_tpu.utils.config import load_yaml_config
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    except Exception:
-        pass
+    # TPU only: cached CPU AOT artifacts can target another machine config
+    # (SIGILL risk + per-load warnings, CLAUDE.md)
+    if jax.default_backend() == "tpu":
+        try:
+            jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        except Exception:
+            pass
 
     model = build_model(load_yaml_config(args.config_file))
     params = load_params(model, args.ckpt, args.seed)
@@ -117,6 +123,15 @@ def main(argv=None):
     if args.captions:
         with open(args.captions) as f:
             caps = [ln.strip() for ln in f if ln.strip()]
+
+    if args.static:
+        calib_caps = [caps[j % len(caps)] for j in range(args.batch)]
+        calib_toks = jnp.asarray(model.text_to_tokens(calib_caps)["token"])
+        t0 = time.time()
+        qp = model.calibrate_serving_engine(
+            params, qp, jax.random.PRNGKey(args.seed + 777), calib_toks,
+            sample_type=args.sample_type)
+        print(f"static calibration in {time.time() - t0:.0f}s", file=sys.stderr)
 
     # separate small jits (cond embed / sampler / decode) instead of one
     # monolithic generate: each compiles fast through the relay and the

@@ -50,6 +50,11 @@ def get_args(argv=None):
     p.add_argument("--sample_type", default="top0.85r")
     p.add_argument("--int8", action="store_true",
                    help="serve through the W8A8 int8 engine (recommended on TPU)")
+    p.add_argument("--calibrate", default=None, metavar="CAPTIONS_TXT",
+                   help="with --int8: calibrate static activation scales on "
+                        "these captions (one per line) and serve the "
+                        "abs-max-free static-quant engine "
+                        "(models/diffusion/calibrate.py)")
     p.add_argument("--batch", type=int, default=8,
                    help="max micro-batch (the single compiled batch shape)")
     p.add_argument("--max_wait_ms", type=int, default=50,
@@ -130,7 +135,7 @@ class Engine:
             _, skip, resample_q = parse_sample_type(args.sample_type)
             if resample_q:
                 raise ValueError("int8 serving does not support q-resample")
-            qp = self.model.quantize_for_serving(self.params)
+            qp = self._maybe_calibrate(self.model.quantize_for_serving(self.params))
             sched = self.model.diffusion.schedule()
             mesh = make_mesh(data=ndev)
             print(f"[serve] int8 sharded over {ndev} devices", flush=True)
@@ -143,7 +148,7 @@ class Engine:
                     skip_step=skip)
                 return self.model.decode_tokens(params, tokens)
         elif args.int8:
-            qp = self.model.quantize_for_serving(self.params)
+            qp = self._maybe_calibrate(self.model.quantize_for_serving(self.params))
 
             @jax.jit
             def run(params, key, toks):
@@ -164,6 +169,31 @@ class Engine:
         self._warm()
         t = threading.Thread(target=self._collector, daemon=True)
         t.start()
+
+    def _maybe_calibrate(self, qp):
+        """--calibrate: bake static activation scales from a caption file."""
+        if not self.args.calibrate:
+            return qp
+        import time as _time
+
+        with open(self.args.calibrate) as f:
+            caps = [ln.strip() for ln in f if ln.strip()]
+        if not caps:
+            raise ValueError(f"no captions in {self.args.calibrate}")
+        caps = [caps[i % len(caps)] for i in range(self.args.batch)]
+        toks = self.jnp.asarray(self.model.text_to_tokens(caps)["token"])
+        t0 = _time.time()
+        qp = self.model.calibrate_serving_engine(
+            self.params, qp, self._calib_key(), toks,
+            sample_type=self.args.sample_type)
+        print(f"[serve] static calibration: {_time.time() - t0:.1f}s "
+              f"({len(set(caps))} captions)", flush=True)
+        return qp
+
+    def _calib_key(self):
+        import jax
+
+        return jax.random.PRNGKey(self.args.seed + 7777)
 
     def _warm(self):
         toks = self.jnp.asarray(

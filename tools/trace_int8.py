@@ -3,8 +3,11 @@
 ``jax.profiler.trace`` and aggregate per-kernel device time from the exported
 Chrome-trace JSON (no tensorboard/tensorflow needed).
 
-Usage: python tools/trace_int8.py [steps=20] [impl=pallas]
+Usage: python tools/trace_int8.py [steps=20] [impl=pallas] [static]
 Prints total device time per kernel name (top 25) for ONE sampler invocation.
+A third arg of "static" calibrates static activation scales on the benchmark
+conditioning first (models/diffusion/calibrate.py) and traces the
+abs-max-free static-quant engine instead of the dynamic one.
 """
 
 import glob
@@ -25,6 +28,7 @@ BATCH = 8
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     impl = sys.argv[2] if len(sys.argv) > 2 else "pallas"
+    static = len(sys.argv) > 3 and sys.argv[3] == "static"
 
     import jax
     import jax.numpy as jnp
@@ -70,6 +74,17 @@ def main():
     sched = denoiser.schedule()
     cond = jax.random.normal(jax.random.PRNGKey(7), (BATCH, 77, 512), jnp.float32)
     cond = cond / jnp.linalg.norm(cond, axis=-1, keepdims=True)
+
+    if static:
+        from text_to_sound_synthesis_tpu.models.diffusion.calibrate import (
+            calibrate_act_scales,
+        )
+
+        t0 = time.time()
+        scales = calibrate_act_scales(qp, sched, jax.random.PRNGKey(9), cond,
+                                      truncation_r=0.85)
+        qp = qp.replace(act_scales=scales)
+        print(f"calibration {time.time() - t0:.1f}s", file=sys.stderr)
 
     @jax.jit
     def run(qp, key, cond):
