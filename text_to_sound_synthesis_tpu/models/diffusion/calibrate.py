@@ -62,13 +62,19 @@ def _attend(q, k, v, n_head: int):
     return jnp.einsum("bhls,bshd->blhd", att, heads(v)).reshape(B, L, D)
 
 
-def _backbone_amax(qp: Int8Denoiser, tokens, t, cond_kvs):
+def _backbone_amax(qp: Int8Denoiser, tokens, t, stacked, ck_st, cv_st):
     """Dynamic-int8 backbone forward that ALSO returns per-site max |h|.
 
     Math mirrors the served engine's xla impl (int8_runtime.py:333-353): the
     calibration trajectory is the dynamic engine's own trajectory, so the
     recorded maxima are exactly the activations the static engine will see.
-    Returns (logits (B, L, K-1), amax (n_layer, N_SITES) f32).
+
+    ``stacked`` is the Int8Layer pytree with a leading (n_layer,) axis and
+    the layer loop is a ``lax.scan`` — unlike the served Pallas path (which
+    must keep weights unstacked as dense kernel operands), calibration is
+    jnp-only, and the rolled loop keeps the HLO ~n_layer× smaller (the
+    unrolled flagship program exceeded the remote-compile relay's request
+    size limit). Returns (logits (B, L, K-1), amax (n_layer, N_SITES) f32).
     """
     B, L = tokens.shape
     D = qp.tok_emb.shape[-1]
@@ -80,8 +86,8 @@ def _backbone_amax(qp: Int8Denoiser, tokens, t, cond_kvs):
     def flat_bf16(y):
         return y.astype(jnp.bfloat16)
 
-    rows = []
-    for lyr, (ck, cv) in zip(qp.layers, cond_kvs):
+    def layer_fn(x, inp):
+        lyr, ck, cv = inp
         mod1 = lyr.ada1[t].reshape(2, D)
         mod2 = lyr.ada2[t].reshape(2, D)
         site = []
@@ -104,8 +110,7 @@ def _backbone_amax(qp: Int8Denoiser, tokens, t, cond_kvs):
         site.append(jnp.max(jnp.abs(h2)))
         q2_, s2 = _quantize_rows(h2)
         q2 = flat_bf16(_dense(q2_, s2, lyr.crossq)).reshape(B, L, D)
-        S = ck.shape[1]
-        y2 = _attend(q2, ck.reshape(B, S, D), cv.reshape(B, S, D), H)
+        y2 = _attend(q2, ck, cv, H)
         y2 = y2.reshape(B * L, D).astype(jnp.bfloat16).astype(jnp.float32)
         site.append(jnp.max(jnp.abs(y2)))
         qy2, sy2 = _quantize_rows(y2)
@@ -119,7 +124,9 @@ def _backbone_amax(qp: Int8Denoiser, tokens, t, cond_kvs):
         qu, su = _quantize_rows(u)
         x = (_dense(qu, su, lyr.fc2) + x).astype(jnp.bfloat16).astype(jnp.float32)
 
-        rows.append(jnp.stack(site))
+        return x, jnp.stack(site)
+
+    x, amax = jax.lax.scan(layer_fn, x, (stacked, ck_st, cv_st))
 
     xf = x
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -127,7 +134,7 @@ def _backbone_amax(qp: Int8Denoiser, tokens, t, cond_kvs):
     xn = (xf - mean) * jax.lax.rsqrt(var + 1e-6)
     xn = xn * qp.norm_out[0] + qp.norm_out[1]
     logits = xn.astype(jnp.bfloat16) @ qp.head_w + qp.head_b.astype(jnp.bfloat16)
-    return logits.reshape(B, L, -1), jnp.stack(rows)
+    return logits.reshape(B, L, -1), amax
 
 
 def calibrate_act_scales(
@@ -157,21 +164,26 @@ def calibrate_act_scales(
 
     ts, t_post = _timestep_plan(T, T, skip_step)
     kvs = precompute_cond_kvs(qp, cond_emb)
-    # the amax backbone attends in (B, S, D) layout
-    kvs = tuple((k.reshape(k.shape[0], k.shape[1], -1),
-                 v.reshape(v.shape[0], v.shape[1], -1)) for k, v in kvs)
+    # the amax backbone attends in (B, S, D) layout; stack across layers for
+    # the rolled lax.scan (see _backbone_amax)
+    ck_st = jnp.stack([k.reshape(k.shape[0], k.shape[1], -1) for k, _ in kvs])
+    cv_st = jnp.stack([v.reshape(v.shape[0], v.shape[1], -1) for _, v in kvs])
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *qp.layers)
 
     n_layer = len(qp.layers)
 
+    # weights enter as jit ARGUMENTS (closure-captured arrays are embedded
+    # as constants and blow past the remote-compile relay's request limit)
     @jax.jit
-    def run(key):
+    def run(qp, stacked, ck_st, cv_st, sched, key):
         tokens = jnp.full((B, L), K - 1, jnp.int32)
         amax0 = jnp.zeros((n_layer, N_SITES), jnp.float32)
 
         def step(carry, tt):
             tokens, key, amax = carry
             t_scalar, t_post_scalar = tt
-            logits, site_amax = _backbone_amax(qp, tokens, t_scalar, kvs)
+            logits, site_amax = _backbone_amax(qp, tokens, t_scalar, stacked,
+                                               ck_st, cv_st)
             amax = jnp.maximum(amax, site_amax)
             coeffs = fs.step_coeffs(sched, t_post_scalar)
             key, k = jax.random.split(key)
@@ -183,7 +195,7 @@ def calibrate_act_scales(
                                             (ts, t_post))
         return amax
 
-    amax = jax.device_get(run(key))
+    amax = jax.device_get(run(qp, stacked, ck_st, cv_st, sched, key))
     scales = jnp.maximum(jnp.asarray(amax), 1e-6) * (margin / 127.0)
     scales = jax.device_get(scales)
     return tuple(tuple(float(s) for s in row) for row in scales)
