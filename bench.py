@@ -4,16 +4,23 @@ BASELINE config 4: "Diffsound 100-step discrete diffusion sampling, batch 8
 AudioCaps captions". WHAT IS TIMED: the flagship denoiser (19L x 1024d)
 served through the W8A8 int8 engine (models/diffusion/int8_runtime.py —
 block-fused Pallas kernels; the TPU analogue of serving the reference through
-TensorRT int8) driven by the fused 100-step ``lax.scan`` reverse sampler with
-top-0.85r truncation, followed by the VQGAN decode to an 80x848 mel. WHAT IS
-NOT: host text BPE, the CLIP text-tower forward (a precomputed random
-``cond_emb`` stands in; ~1-2 ms/batch on-device), the MelGAN vocode
-(~6 ms/batch) and the host wav write — the caption-in -> wav-out number
-including all of those is the ``e2e_text_to_wav`` row of
-``tools/bench_suite.py``. Random weights (throughput is weight-agnostic).
-Accuracy of the int8 engine vs the bf16 model is gated by
-tests/test_int8_runtime.py; kernel-vs-oracle exactness by tests/test_quant.py
-and tests/test_int8_blocks.py. ``BENCH_BF16=1`` benches the bf16 path instead.
+TensorRT int8) with STATIC calibrated activation scales
+(models/diffusion/calibrate.py — the calibration pass itself is a one-off
+engine-build cost, run before timing exactly like jit compilation, as a
+production deployment would at model-load time), driven by the fused
+100-step ``lax.scan`` reverse sampler with top-0.85r truncation, followed by
+the VQGAN decode to an 80x848 mel. WHAT IS NOT: host text BPE, the CLIP
+text-tower forward (a precomputed random ``cond_emb`` stands in; ~1-2
+ms/batch on-device), the MelGAN vocode (~6 ms/batch) and the host wav
+write — the caption-in -> wav-out number including all of those is the
+``e2e_caption_to_wav`` row of ``tools/bench_suite.py``. Random weights
+(throughput is weight-agnostic). Accuracy of the int8 engine vs the bf16
+model is gated by tests/test_int8_runtime.py + tests/test_static_quant.py;
+kernel-vs-oracle exactness by tests/test_quant.py and
+tests/test_int8_blocks.py; distribution-level drift by
+tools/eval_int8_drift.py (--static) and the pinned TPU gate
+tests/test_int8_drift_gate.py. ``BENCH_DYNAMIC=1`` benches the dynamic
+per-token-quant engine instead; ``BENCH_BF16=1`` the bf16 path.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -102,6 +109,7 @@ def main() -> None:
     print(f"init: {time.time() - t0:.1f}s", file=sys.stderr)
 
     use_bf16 = bool(int(os.environ.get("BENCH_BF16", "0")))
+    use_dynamic = bool(int(os.environ.get("BENCH_DYNAMIC", "0")))
     if use_bf16:
         weights = dparams
 
@@ -113,6 +121,23 @@ def main() -> None:
             quantize_denoiser(dparams, n_head=16, seq_len=265,
                               num_timesteps=STEPS))
         sched = denoiser.schedule()
+        if not use_dynamic:
+            # one-off engine-build step, untimed (like jit compile): bake
+            # static activation scales calibrated on the bench conditioning
+            from text_to_sound_synthesis_tpu.models.diffusion.calibrate import (
+                calibrate_act_scales,
+            )
+
+            cond_c = jax.random.normal(jax.random.PRNGKey(7),
+                                       (BATCH, 77, 512), jnp.float32)
+            cond_c = cond_c / jnp.linalg.norm(cond_c, axis=-1, keepdims=True)
+            t0 = time.time()
+            scales = calibrate_act_scales(weights, sched,
+                                          jax.random.PRNGKey(99), cond_c,
+                                          truncation_r=0.85)
+            weights = weights.replace(act_scales=scales)
+            print(f"static calibration (one-off): {time.time() - t0:.1f}s",
+                  file=sys.stderr)
 
         def sample(weights, key, cond_emb):
             return sample_tokens_int8(weights, sched, key, cond_emb,

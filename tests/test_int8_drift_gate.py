@@ -47,3 +47,25 @@ def test_int8_drift_within_reseed_floor():
                      "--train_steps", "40", "--clips", "24"])
     assert out["fid_bf16_seed_floor"] > 0
     assert out["drift_ratio"] <= MAX_DRIFT_RATIO, out
+
+
+@pytest.mark.slow
+def test_static_quant_drift_within_reseed_floor():
+    """Same gate for the STATIC-calibrated engine (bench.py's headline
+    serving mode). Measured on v5e-1: drift_ratio 0.394 at this protocol
+    (vs 0.357 dynamic) — static saturation adds no distribution drift
+    beyond the reseeding floor."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("flagship drift gate runs on TPU only (see module docstring)")
+    from tests.test_composite import _has_bpe
+
+    if not _has_bpe():
+        pytest.skip("BPE artifact unavailable")
+
+    import eval_int8_drift as tool
+
+    out = tool.main(["--config_file",
+                     os.path.join(REPO, "configs/diffsound_audiocaps.yaml"),
+                     "--train_steps", "40", "--clips", "24", "--static"])
+    assert out["fid_bf16_seed_floor"] > 0
+    assert out["drift_ratio"] <= MAX_DRIFT_RATIO, out
