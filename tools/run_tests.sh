@@ -23,7 +23,7 @@ CHUNK4="tests/test_cli.py tests/test_classifier_solver.py tests/test_native_load
 tests/test_int8_drift_gate.py \
 tests/test_int8_runtime.py"
 CHUNK5="tests/test_vocoder_training.py tests/test_vocoder_learning.py \
-tests/test_vqgan_training.py tests/test_static_quant.py"
+tests/test_vqgan_training.py tests/test_static_quant.py tests/test_fused_gn_conv.py"
 
 fail=0
 run_chunk() {
