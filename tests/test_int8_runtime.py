@@ -116,6 +116,36 @@ def test_sampler_tracks_fp_sampler_distribution(setup):
     assert tv < 0.08, tv
 
 
+def test_fast_sampler_int8_tracks_fp_fast_sampler(setup):
+    """The strided fast sampler (reference ``sample_fast``; the
+    diffsound_fast25step_batch32_int8_static serving row) on the int8 engine:
+    valid tokens, deterministic, and marginal-histogram TV vs the f32 fused
+    fast sampler within the pinned gate."""
+    from text_to_sound_synthesis_tpu.models.diffusion.process import (
+        sample_tokens_fused,
+    )
+
+    model, params, qp, _, cond = setup
+    sched = model.schedule()
+    n_rep = 12
+    cond_rep = jnp.tile(cond, (n_rep, 1, 1))
+    t_q = sample_tokens_int8(qp, sched, jax.random.PRNGKey(9), cond_rep,
+                             truncation_r=0.85, skip_step=3)
+    t_q2 = sample_tokens_int8(qp, sched, jax.random.PRNGKey(9), cond_rep,
+                              truncation_r=0.85, skip_step=3)
+    a = np.asarray(t_q)
+    assert (a >= 0).all() and (a < NUM_EMBED + 1).all()
+    assert (a != NUM_EMBED).all()
+    np.testing.assert_array_equal(a, np.asarray(t_q2))
+
+    t_fp = sample_tokens_fused(model, params, jax.random.PRNGKey(9), cond_rep,
+                               truncation_r=0.85, skip_step=3)
+    h_fp = np.bincount(np.asarray(t_fp).ravel(), minlength=NUM_EMBED + 1)
+    h_q = np.bincount(a.ravel(), minlength=NUM_EMBED + 1)
+    tv = 0.5 * np.abs(h_fp / h_fp.sum() - h_q / h_q.sum()).sum()
+    assert tv < 0.08, tv
+
+
 def test_sharded_serving_8dev_mesh(setup):
     """Data-parallel int8 serving via shard_map on the virtual 8-device mesh
     (Pallas calls are opaque to GSPMD, so dp serving must go through

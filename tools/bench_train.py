@@ -62,6 +62,11 @@ def main():
         _ = float(jax.device_get(metrics.loss))
         print(f"compile+first step (B={B}): {time.time() - t0:.1f}s", file=sys.stderr)
 
+        if "--trace" in sys.argv:
+            _trace_step(lambda: step(state, frozen, batch,
+                                     jax.random.PRNGKey(3), 3e-6))
+            return
+
         iters = 10
         t0 = time.time()
         for i in range(iters):
@@ -105,6 +110,53 @@ def main():
                 "steps_per_sec": round(1.0 / dt, 3),
                 "clips_per_sec_per_chip": round(B / dt, 2),
             }))
+
+
+def _trace_step(run_once, top=24):
+    """Device-trace the stage-2 train step; aggregate per-op-TYPE device time
+    (instance suffixes stripped) — wall-clock through the relay lies."""
+    import glob
+    import gzip
+    import json as _json
+    import os
+    import re
+    from collections import defaultdict
+
+    import jax
+
+    run_once()  # compile + warm
+    log_dir = "/tmp/t2s_train_trace/diffsound"
+    os.system(f"rm -rf {log_dir}")
+    with jax.profiler.trace(log_dir):
+        state, metrics = run_once()
+        _ = float(jax.device_get(metrics.loss))
+    files = sorted(glob.glob(f"{log_dir}/**/*.trace.json.gz", recursive=True))
+    with gzip.open(files[-1], "rt") as f:
+        trace = _json.load(f)
+    pids = {}
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pids[ev["pid"]] = ev.get("args", {}).get("name", "")
+    dev = {p for p, n in pids.items() if "TPU" in n or "XLA" in n
+           or "/device" in n.lower()}
+    agg = defaultdict(float)
+    cnt = defaultdict(int)
+    step_ms = 0.0
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") != "X" or "dur" not in ev:
+            continue
+        if dev and ev.get("pid") not in dev:
+            continue
+        name = ev["name"]
+        if name.startswith("jit_"):
+            step_ms = max(step_ms, ev["dur"] / 1e3)
+            continue
+        base = re.sub(r"\.\d+$", "", name)
+        agg[base] += ev["dur"]
+        cnt[base] += 1
+    print(f"device step: {step_ms:.2f} ms")
+    for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"  {v/1e3:9.2f} ms x{cnt[k]:<5d} {k}")
 
 
 if __name__ == "__main__":
