@@ -63,8 +63,17 @@ def main():
         print(f"compile+first step (B={B}): {time.time() - t0:.1f}s", file=sys.stderr)
 
         if "--trace" in sys.argv:
-            _trace_step(lambda: step(state, frozen, batch,
-                                     jax.random.PRNGKey(3), 3e-6))
+            holder = {"state": state}
+
+            def _once():
+                # the step donates its state — rebind so each trace call
+                # consumes a live buffer, not an already-donated one
+                s, m = step(holder["state"], frozen, batch,
+                            jax.random.PRNGKey(3), 3e-6)
+                holder["state"] = s
+                return s, m
+
+            _trace_step(_once)
             return
 
         iters = 10

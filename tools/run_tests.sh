@@ -16,7 +16,7 @@ tests/test_vqgan.py tests/test_gpt.py \
 tests/test_clip.py tests/test_melgan.py tests/test_data.py tests/test_config.py"
 CHUNK2="tests/test_diffusion_model.py tests/test_composite.py tests/test_engine.py \
 tests/test_solver.py tests/test_evaluation.py tests/test_captioner.py \
-tests/test_caption_metrics_full.py"
+tests/test_caption_metrics_full.py tests/test_parallel.py"
 CHUNK3="tests/test_convert.py tests/test_reference_parity.py tests/test_melception_full.py \
 tests/test_learning.py tests/test_checkpoint_gate.py tests/test_longform.py"
 CHUNK4="tests/test_cli.py tests/test_classifier_solver.py tests/test_native_loader.py \
