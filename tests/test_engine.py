@@ -194,3 +194,30 @@ def test_data_parallel_generation_8dev(tiny_setup, rng):
     assert out.shape == (8, 16)
     arr = np.asarray(out)
     assert ((arr >= 0) & (arr <= 10)).all()
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """Async orbax saves commit atomically and restore identically; the
+    solver's save path uses async_save=True (engine/solver.py)."""
+    from text_to_sound_synthesis_tpu.engine.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+        wait_for_checkpoints,
+    )
+
+    state = {"w": jnp.arange(8.0), "step": jnp.asarray(3, jnp.int32)}
+    save_checkpoint(str(tmp_path), "last", state, {"epoch": 1},
+                    async_save=True)
+    # a second in-flight save must serialize, not corrupt
+    save_checkpoint(str(tmp_path), "0e_3iter", state, None, async_save=True)
+    wait_for_checkpoints()
+
+    assert latest_checkpoint(str(tmp_path)) == "last"
+    got, host = restore_checkpoint(str(tmp_path), "last", template=state)
+    np.testing.assert_array_equal(np.asarray(got["w"]), np.arange(8.0))
+    assert int(got["step"]) == 3
+    assert host == {"epoch": 1}
+    got2, host2 = restore_checkpoint(str(tmp_path), "0e_3iter", template=state)
+    np.testing.assert_array_equal(np.asarray(got2["w"]), np.arange(8.0))
+    assert host2 is None

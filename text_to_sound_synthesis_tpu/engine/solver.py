@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from ..models.diffsound import Diffsound
 from ..parallel.mesh import make_data_mesh_for_batch, shard_batch
 from ..utils.config import instantiate_from_config
-from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from .checkpoint import (latest_checkpoint, restore_checkpoint,
+                         save_checkpoint, wait_for_checkpoints)
 from .logger import Logger
 from .optimizers import build_optimizer
 from .train_state import DiffusionTrainState, make_train_step
@@ -155,12 +156,19 @@ class Solver:
             "acc_lists": [self.diffusion_acc_list, self.diffusion_keep_list],
         }
         payload = {"state": self.state, "frozen": self.frozen}
-        save_checkpoint(self.logger.ckpt_dir, "last", payload, host)
+        # async: the train loop resumes while orbax stages+writes in the
+        # background; commits are atomic, and the next save (or the final
+        # wait in train()) serializes against this one
+        save_checkpoint(self.logger.ckpt_dir, "last", payload, host,
+                        async_save=True)
         if force or (epoch + 1) % self.save_epochs == 0:
-            save_checkpoint(self.logger.ckpt_dir, f"{epoch}e_{it}iter", payload, host)
-        self.logger.log_info(f"saved checkpoint at epoch {epoch}, iter {it}")
+            save_checkpoint(self.logger.ckpt_dir, f"{epoch}e_{it}iter", payload,
+                            host, async_save=True)
+        self.logger.log_info(f"saving checkpoint at epoch {epoch}, iter {it} "
+                             f"(async)")
 
     def resume(self, name: Optional[str] = None) -> bool:
+        wait_for_checkpoints()  # don't race an in-flight async save
         name = name or latest_checkpoint(self.logger.ckpt_dir)
         if name is None:
             return False
@@ -397,3 +405,4 @@ class Solver:
             if (epoch + 1) % self.validation_epochs == 0:
                 self.validate_epoch(epoch)
         self.save(self.max_epochs - 1, force=True)
+        wait_for_checkpoints()

@@ -143,7 +143,10 @@ def main(argv=None):
         sample_tokens_fused,
     )
 
+    from text_to_sound_synthesis_tpu.models.diffsound import parse_sample_type
+
     r = float(args.sample_type.split(",")[0][3:-1]) if args.sample_type.startswith("top") else 0.0
+    _, skip_step, _ = parse_sample_type(args.sample_type)
     sched = model.diffusion.schedule()
 
     embed = jax.jit(lambda params, toks: model.embed_condition(params, toks))
@@ -151,11 +154,12 @@ def main(argv=None):
     @jax.jit
     def toks_bf16(params, key, cond_emb):
         return sample_tokens_fused(model.diffusion, params["diffusion"], key,
-                                   cond_emb, truncation_r=r)
+                                   cond_emb, truncation_r=r, skip_step=skip_step)
 
     @jax.jit
     def toks_int8(qp, key, cond_emb):
-        return sample_tokens_int8(qp, sched, key, cond_emb, truncation_r=r)
+        return sample_tokens_int8(qp, sched, key, cond_emb, truncation_r=r,
+                                  skip_step=skip_step)
 
     @jax.jit
     def decode(params, tokens):

@@ -50,7 +50,8 @@ def main():
         build_gan_optimizer,
         make_vqgan_train_step,
     )
-    from text_to_sound_synthesis_tpu.engine.checkpoint import save_checkpoint
+    from text_to_sound_synthesis_tpu.engine.checkpoint import (
+        save_checkpoint, wait_for_checkpoints)
     from text_to_sound_synthesis_tpu.models.discriminator import NLayerDiscriminator
     from text_to_sound_synthesis_tpu.models.lpaps import LPAPS
     from text_to_sound_synthesis_tpu.models.vqgan import VQModel
@@ -177,9 +178,11 @@ def main():
                 break
         epoch += 1
         save_checkpoint(logger.ckpt_dir, "last", {"state": state},
-                        {"epoch": epoch, "step": int(jax.device_get(state.step))})
+                        {"epoch": epoch, "step": int(jax.device_get(state.step))},
+                        async_save=True)
         if epoch % args.val_every_epochs == 0:
             validate(epoch)
+    wait_for_checkpoints()
     logger.log_info("training done")
 
 
