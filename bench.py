@@ -149,6 +149,19 @@ def main() -> None:
         grid = toks.reshape(-1, 53, 5).swapaxes(1, 2)  # reverse ColumnMajor
         return codec.apply(cparams, grid, method=codec.decode_code)
 
+    @jax.jit
+    def generate_many(weights, cparams, keys, cond_emb):
+        """TIMED_ITERS batches in ONE dispatch (lax.scan over seeds): through
+        the axon relay every dispatch costs ~30 ms of pure enqueue artifact
+        that a production host does not pay; scanning removes it.  Each
+        iteration's full mel is folded into a sum so no batch element or
+        pixel is dead code."""
+        def body(carry, key):
+            mel = generate(weights, cparams, key, cond_emb)
+            return carry + jnp.sum(mel.astype(jnp.float32)), ()
+        total, _ = jax.lax.scan(body, jnp.float32(0.0), keys)
+        return total
+
     cond = jax.random.normal(jax.random.PRNGKey(7), (BATCH, 77, 512), jnp.float32)
     cond = cond / jnp.linalg.norm(cond, axis=-1, keepdims=True)
 
@@ -159,20 +172,29 @@ def main() -> None:
     _ = np.asarray(full[0, :2, :2, 0])
     print(f"compile+first run: {time.time() - t0:.1f}s; mel {full.shape}", file=sys.stderr)
 
-    # NOTE: sync via a TINY host transfer of a slice that depends on the whole
+    # NOTE: sync via a TINY host transfer of a value that depends on the whole
     # computation — block_until_ready can return early through the axon relay,
     # and fetching the full mel would time the ~57 MB/s relay link instead of
-    # the chip. Dispatches are queued ASYNC and synced once at the end: a
-    # serving loop keeps the device queue non-empty, and syncing inside the
-    # loop would add one relay round-trip (~5-30 ms, CLAUDE.md) per batch of
-    # pure measurement artifact (r3: the per-iter sync cost ~55 ms over 8
-    # iters vs the trace-verified 633 ms/batch of device time).
-    t0 = time.time()
-    outs = [generate(weights, cparams, jax.random.PRNGKey(2 + i), cond)
-            for i in range(TIMED_ITERS)]
-    for out in outs:
-        _ = np.asarray(out[0, :2, :2, 0])
-    elapsed = time.time() - t0
+    # the chip. All timed iterations run in ONE dispatch (generate_many):
+    # through the relay each dispatch costs ~30 ms of enqueue artifact on top
+    # of the trace-verified ~633 ms/batch of device time; a production host
+    # pays microseconds. BENCH_DISPATCH_LOOP=1 restores the per-batch
+    # dispatch loop for comparison.
+    keys = jnp.stack([jax.random.PRNGKey(2 + i) for i in range(TIMED_ITERS)])
+    if os.environ.get("BENCH_DISPATCH_LOOP", "0") == "1":
+        t0 = time.time()
+        outs = [generate(weights, cparams, keys[i], cond)
+                for i in range(TIMED_ITERS)]
+        for out in outs:
+            _ = np.asarray(out[0, :2, :2, 0])
+        elapsed = time.time() - t0
+    else:
+        total = generate_many(weights, cparams, keys, cond)  # compile
+        _ = np.asarray(total)
+        t0 = time.time()
+        total = generate_many(weights, cparams, keys, cond)
+        _ = np.asarray(total)
+        elapsed = time.time() - t0
 
     clips_per_sec = BATCH * TIMED_ITERS / elapsed
     print(

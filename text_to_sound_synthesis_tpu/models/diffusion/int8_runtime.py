@@ -248,13 +248,16 @@ def _int8_backbone_hidden(
     qp: Int8Denoiser,
     tokens: jnp.ndarray,            # (B, L) int32
     t: jnp.ndarray,                 # scalar int32 (shared across batch)
-    cond_kvs,                       # from precompute_cond_kvs
+    cond_kvs,                       # from precompute_cond_kvs, or pre-
+                                    # flattened via _flatten_cond_kvs (then
+                                    # pass s_valid)
     *,
     impl: str = "xla",
     mods=None,                      # per-layer ((2, D), (2, D)) AdaLN
                                     # modulations for this t, prefetched by
                                     # the sampler; defaults to per-layer
                                     # table gathers
+    s_valid: Optional[int] = None,  # condition length when cond_kvs is flat
 ):
     """Pre-head backbone activations: returns (x (B*L_pad, D), L_pad)."""
     B, L = tokens.shape
@@ -284,9 +287,17 @@ def _int8_backbone_hidden(
         return y.reshape(B, L_pad, H, D // H)
 
     if impl in ("pallas", "pallas_dense"):
-        # flatten the cross K/V to the kernels' (rows, D) layout once
-        s_valid = cond_kvs[0][0].shape[1]
-        kv_seq = _flatten_cond_kvs(cond_kvs, -(-s_valid // 8) * 8)
+        if cond_kvs[0][0].ndim == 2:
+            # pre-flattened by the caller — REQUIRED on the sampling hot path:
+            # flattening in here puts the pad/reshape/copy chain inside the
+            # timestep scan, and XLA does not hoist it past the custom-call
+            # layout constraints (trace: ~240 us/step = ~24 ms/batch at
+            # flagship). ``s_valid`` must accompany flat K/V.
+            assert s_valid is not None, "flat cond_kvs need s_valid"
+            kv_seq = cond_kvs
+        else:
+            s_valid = cond_kvs[0][0].shape[1]
+            kv_seq = _flatten_cond_kvs(cond_kvs, -(-s_valid // 8) * 8)
     else:
         s_valid = cond_kvs[0][0].shape[1]
         kv_seq = cond_kvs
@@ -381,15 +392,16 @@ def int8_backbone_logits(
     qp: Int8Denoiser,
     tokens: jnp.ndarray,            # (B, L) int32
     t: jnp.ndarray,                 # scalar int32 (shared across batch)
-    cond_kvs,                       # from precompute_cond_kvs
+    cond_kvs,                       # from precompute_cond_kvs (or flat)
     *,
     impl: str = "xla",
     mods=None,
+    s_valid: Optional[int] = None,
 ) -> jnp.ndarray:
     """Raw denoiser logits (B, L, num_classes - 1), int8 fused path."""
     B, L = tokens.shape
     x, L_pad = _int8_backbone_hidden(qp, tokens, t, cond_kvs, impl=impl,
-                                     mods=mods)
+                                     mods=mods, s_valid=s_valid)
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
@@ -430,6 +442,12 @@ def sample_tokens_int8(
     ts, t_post = _timestep_plan(T, T, skip_step)
     seed_base = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
     kvs = precompute_cond_kvs(qp, cond_emb)
+    s_valid = cond_emb.shape[1]
+    if impl in ("pallas", "pallas_dense"):
+        # flatten to the kernels' (rows, D) layout HERE, outside the scan —
+        # done per step, the pad/reshape/copy chain costs ~24 ms/batch
+        # (not hoisted by XLA past the custom-call layout constraints)
+        kvs = _flatten_cond_kvs(kvs, -(-s_valid // 8) * 8)
 
     # prefetch the AdaLN modulations for the whole timestep plan (per-step
     # table gathers inside the scan cost extra slice fusions)
@@ -446,7 +464,8 @@ def sample_tokens_int8(
             # fully fused tail: final LN + head matmul + sampler in one kernel
             # (the (M, K) logits never visit HBM)
             x, L_pad = _int8_backbone_hidden(qp, tokens, t_scalar, kvs,
-                                             impl=impl, mods=mods)
+                                             impl=impl, mods=mods,
+                                             s_valid=s_valid)
             xt = jnp.pad(tokens, ((0, 0), (0, L_pad - L))).reshape(-1, 1)
             nxt = fs.fused_head_sample(x, xt, qp.norm_out, qp.head_w,
                                        qp.head_b, coeffs, seed_base + idx,
@@ -454,7 +473,7 @@ def sample_tokens_int8(
             tokens = nxt.reshape(B, L_pad)[:, :L]
             return (tokens, key), ()
         logits = int8_backbone_logits(qp, tokens, t_scalar, kvs, impl=impl,
-                                      mods=mods)
+                                      mods=mods, s_valid=s_valid)
         if use_sampler_kernel:
             tokens = fs.fused_p_sample(logits, tokens, coeffs, seed_base + idx,
                                        truncation_r=truncation_r)
