@@ -151,9 +151,7 @@ def main():
     args = ([w.w_q for w in ws] + [w.scale for w in ws] + [w.bias for w in ws])
 
     def timed(name, fn):
-        import glob
-        import gzip
-        import json
+        from text_to_sound_synthesis_tpu.utils.trace import DeviceTrace
 
         @jax.jit
         def run(x):
@@ -164,20 +162,11 @@ def main():
         try:
             out = run(x)
             _ = np.asarray(out).ravel()[:2]
-            log_dir = f"/tmp/t2s_attn_ablate/{name}"
-            os.system(f"rm -rf {log_dir}")
-            with jax.profiler.trace(log_dir):
-                out = run(x)
-                _ = np.asarray(out).ravel()[:2]
-            files = sorted(glob.glob(f"{log_dir}/**/*.trace.json.gz",
-                                     recursive=True), key=os.path.getmtime)
-            with gzip.open(files[-1], "rt") as f:
-                trace = json.load(f)
-            per = {}
-            for ev in trace.get("traceEvents", []):
-                if ev.get("ph") == "X" and "dur" in ev:
-                    per[ev["name"]] = per.get(ev["name"], 0.0) + ev["dur"]
-            rows = [(v, k) for k, v in per.items() if "closed_call" in k]
+            tr = DeviceTrace.capture(
+                lambda: np.asarray(run(x)).ravel()[:2],
+                f"/tmp/t2s_attn_ablate/{name}")
+            rows = [(v, k) for k, (v, _) in tr.by_name()
+                    if "closed_call" in k]
             us, which = max(rows)
             dt = us / ITERS
         except Exception as e:  # noqa: BLE001

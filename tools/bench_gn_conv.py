@@ -11,21 +11,16 @@ T2S_GN_VERBOSE=1 to print the per-op rows that show the fusion.
 Timing is DEVICE time from the Chrome trace (wall-clock through the axon
 relay is untrustworthy even for scan-chained runs — r2/r3 ledger).  Each
 variant runs as a lax.scan-chained repeat inside one jit; per-iteration cost
-is total device event time / repeats.  NOTE the printed totals double-count
-nested rows (jit_run > while > op); the verbose per-op rows are the truth —
-relative A/B comparisons are still valid.
+is total device OP time / repeats (wrapper rows excluded by
+utils/trace.DeviceTrace).
 
 Usage: python tools/bench_gn_conv.py [repeats] [shape_idx...]
 """
 
 from __future__ import annotations
 
-import glob
-import gzip
-import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -35,6 +30,7 @@ import numpy as np
 
 from text_to_sound_synthesis_tpu.ops.fused_gn_conv import (
     gn_swish_conv, gn_swish_conv_reference)
+from text_to_sound_synthesis_tpu.utils.trace import DeviceTrace
 
 # (H, W, C) stages of the flagship decoder (batch 8, bf16), C == Co.
 SHAPES = [
@@ -50,30 +46,10 @@ GROUPS = 32
 
 def device_time_us(run, x, repeats, tag):
     r = run(x); np.asarray(r)                      # compile + warm
-    log_dir = f"/tmp/t2s_gnconv/{tag}"
-    os.system(f"rm -rf {log_dir}")
-    with jax.profiler.trace(log_dir):
-        r = run(x); np.asarray(r)
-    files = sorted(glob.glob(f"{log_dir}/**/*.trace.json.gz", recursive=True),
-                   key=os.path.getmtime)
-    with gzip.open(files[-1], "rt") as f:
-        trace = json.load(f)
-    pids_by_name = {}
-    for ev in trace.get("traceEvents", []):
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
-            pids_by_name[ev["pid"]] = ev.get("args", {}).get("name", "")
-    dev_pids = {p for p, n in pids_by_name.items()
-                if "TPU" in n or "/device" in n.lower() or "XLA" in n}
-    total = 0.0
-    per = {}
-    for ev in trace.get("traceEvents", []):
-        if ev.get("ph") != "X" or "dur" not in ev:
-            continue
-        if dev_pids and ev.get("pid") not in dev_pids:
-            continue
-        per[ev["name"]] = per.get(ev["name"], 0.0) + ev["dur"]
-        total += ev["dur"]
-    return total / repeats, per
+    tr = DeviceTrace.capture(lambda: np.asarray(run(x)),
+                             f"/tmp/t2s_gnconv/{tag}")
+    per = {name: us for name, (us, _) in tr.by_name()}
+    return tr.total_us() / repeats, per
 
 
 def bench_one(H, W, C, repeats, dtype=jnp.bfloat16, verbose=False):

@@ -180,10 +180,8 @@ def main():
     def timed(name, fn):
         """Device-trace timing: wall-clock through the axon relay is a lie
         even for scan-chained runs (r2 ledger) — parse the Chrome trace and
-        report the kernel's own device time."""
-        import glob
-        import gzip
-        import json
+        report the kernel's own device time (utils/trace.py)."""
+        from text_to_sound_synthesis_tpu.utils.trace import DeviceTrace
 
         @jax.jit
         def run(x):
@@ -195,25 +193,14 @@ def main():
         try:
             out = run(x)
             _ = np.asarray(out).ravel()[:2]
-            log_dir = f"/tmp/t2s_mlp_ablate/{name}"
-            os.system(f"rm -rf {log_dir}")
-            with jax.profiler.trace(log_dir):
-                out = run(x)
-                _ = np.asarray(out).ravel()[:2]
-            files = sorted(glob.glob(f"{log_dir}/**/*.trace.json.gz",
-                                     recursive=True), key=os.path.getmtime)
-            with gzip.open(files[-1], "rt") as f:
-                trace = json.load(f)
-            per = {}
-            for ev in trace.get("traceEvents", []):
-                if ev.get("ph") == "X" and "dur" in ev:
-                    per[ev["name"]] = per.get(ev["name"], 0.0) + ev["dur"]
+            tr = DeviceTrace.capture(
+                lambda: np.asarray(run(x)).ravel()[:2],
+                f"/tmp/t2s_mlp_ablate/{name}")
             # the kernel of interest: biggest closed_call / custom-call row
-            rows = [(v, k) for k, v in per.items()
+            rows = [(v, k) for k, (v, _) in tr.by_name()
                     if "closed_call" in k or "custom" in k or "fusion" in k]
             if not rows:
-                rows = [(v, k) for k, v in per.items()
-                        if k.startswith("while")]
+                rows = [(tr.jit_wrapper_us(), "jit")]
             us, which = max(rows)
             dt = us / ITERS * 1e-6
         except Exception as e:  # noqa: BLE001

@@ -154,7 +154,9 @@ def main():
 
     # fast25 on the static int8 engine — the throughput-serving sweet spot
     # (reference ``sample_fast`` with the r3 static-calibrated W8A8 kernels):
-    # 52.0 clips/sec measured v5e-1 vs 30.8 bf16 (+69%).
+    # 52.0 clips/sec measured v5e-1 vs 30.8 bf16 (+69%); 54.2 single-dispatch
+    # after the cond-K/V flatten hoist. Drift at fast25: ratio 0.4345
+    # (tools/eval_int8_drift.py --static --sample_type "top0.85r,fast3").
     fast_i8 = jax.jit(lambda q, k, c: sample_tokens_int8(
         q, sched, k, c, truncation_r=0.85, skip_step=3))
     dt, _ = timed(fast_i8, qp_s, jax.random.PRNGKey(0), cond32)

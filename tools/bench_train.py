@@ -122,50 +122,26 @@ def main():
 
 
 def _trace_step(run_once, top=24):
-    """Device-trace the stage-2 train step; aggregate per-op-TYPE device time
-    (instance suffixes stripped) — wall-clock through the relay lies."""
-    import glob
-    import gzip
-    import json as _json
-    import os
-    import re
-    from collections import defaultdict
-
+    """Device-trace the stage-2 train step; aggregate per-op-TYPE and by
+    hlo_category — wall-clock through the relay lies, and XLA names fusions
+    after their LAST op (utils/trace.py)."""
     import jax
 
+    from text_to_sound_synthesis_tpu.utils.trace import DeviceTrace
+
     run_once()  # compile + warm
-    log_dir = "/tmp/t2s_train_trace/diffsound"
-    os.system(f"rm -rf {log_dir}")
-    with jax.profiler.trace(log_dir):
+
+    def once():
         state, metrics = run_once()
         _ = float(jax.device_get(metrics.loss))
-    files = sorted(glob.glob(f"{log_dir}/**/*.trace.json.gz", recursive=True))
-    with gzip.open(files[-1], "rt") as f:
-        trace = _json.load(f)
-    pids = {}
-    for ev in trace.get("traceEvents", []):
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
-            pids[ev["pid"]] = ev.get("args", {}).get("name", "")
-    dev = {p for p, n in pids.items() if "TPU" in n or "XLA" in n
-           or "/device" in n.lower()}
-    agg = defaultdict(float)
-    cnt = defaultdict(int)
-    step_ms = 0.0
-    for ev in trace.get("traceEvents", []):
-        if ev.get("ph") != "X" or "dur" not in ev:
-            continue
-        if dev and ev.get("pid") not in dev:
-            continue
-        name = ev["name"]
-        if name.startswith("jit_"):
-            step_ms = max(step_ms, ev["dur"] / 1e3)
-            continue
-        base = re.sub(r"\.\d+$", "", name)
-        agg[base] += ev["dur"]
-        cnt[base] += 1
-    print(f"device step: {step_ms:.2f} ms")
-    for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
-        print(f"  {v/1e3:9.2f} ms x{cnt[k]:<5d} {k}")
+
+    tr = DeviceTrace.capture(once, "/tmp/t2s_train_trace/diffsound")
+    print(f"device step: {tr.jit_wrapper_us()/1e3:.2f} ms")
+    for k, (us, n) in tr.by_name(strip_instance=True, top=top):
+        print(f"  {us/1e3:9.2f} ms x{n:<5d} {k}")
+    print("by hlo_category:")
+    for k, (us, n) in tr.by_category()[:8]:
+        print(f"  {us/1e3:9.2f} ms x{n:<5d} {k}")
 
 
 if __name__ == "__main__":

@@ -96,31 +96,23 @@ def bench_vqgan(dtype):
 
 
 def _trace_step(name, run_once, top=25):
-    """Aggregate per-fusion device time for one training step."""
-    import glob
-    import gzip
-    import json as _json
-    from collections import defaultdict
-
+    """Aggregate per-op-type + per-hlo_category device time for one step
+    (utils/trace.py; category attribution is the truth — fusion names lie)."""
     import jax
 
-    log_dir = f"/tmp/t2s_train_trace/{name}"
-    __import__("os").system(f"rm -rf {log_dir}")
-    with jax.profiler.trace(log_dir):
+    from text_to_sound_synthesis_tpu.utils.trace import DeviceTrace
+
+    def once():
         out = run_once()
         _ = jax.device_get(jax.tree_util.tree_leaves(out)[0])
-    files = sorted(glob.glob(f"{log_dir}/**/*.trace.json.gz", recursive=True))
-    with gzip.open(files[-1], "rt") as f:
-        trace = _json.load(f)
-    per = defaultdict(float)
-    counts = defaultdict(int)
-    for ev in trace.get("traceEvents", []):
-        if ev.get("ph") == "X" and "dur" in ev:
-            per[ev["name"]] += ev["dur"]
-            counts[ev["name"]] += 1
-    for us, n, k in sorted(((v, counts[k], k) for k, v in per.items()),
-                           reverse=True)[:top]:
+
+    tr = DeviceTrace.capture(once, f"/tmp/t2s_train_trace/{name}")
+    print(f"device step: {tr.jit_wrapper_us()/1e3:.2f} ms", file=sys.stderr)
+    for k, (us, n) in tr.by_name(strip_instance=True, top=top):
         print(f"{us/1e3:9.2f} ms x{n:<5d} {k[:90]}", file=sys.stderr)
+    print("by hlo_category:", file=sys.stderr)
+    for k, (us, n) in tr.by_category()[:8]:
+        print(f"{us/1e3:9.2f} ms x{n:<5d} {k}", file=sys.stderr)
 
 
 def bench_melgan(dtype):

@@ -13,7 +13,8 @@ cd "$(dirname "$0")/.."
 CHUNK1="tests/test_signal.py tests/test_diffusion_math.py tests/test_sampling_ops.py \
 tests/test_fused_sampler.py tests/test_quant.py tests/test_int8_blocks.py \
 tests/test_vqgan.py tests/test_gpt.py \
-tests/test_clip.py tests/test_melgan.py tests/test_data.py tests/test_config.py"
+tests/test_clip.py tests/test_melgan.py tests/test_data.py tests/test_config.py \
+tests/test_trace_util.py"
 CHUNK2="tests/test_diffusion_model.py tests/test_composite.py tests/test_engine.py \
 tests/test_solver.py tests/test_evaluation.py tests/test_captioner.py \
 tests/test_caption_metrics_full.py tests/test_parallel.py"

@@ -5,13 +5,9 @@ one decode_code call at batch 8, per-op aggregation from the Chrome trace.
 Usage: python tools/trace_decode.py
 """
 
-import glob
-import gzip
-import json
 import os
 import sys
 import time
-from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -63,34 +59,18 @@ def main():
         _ = np.asarray(out[0, :2, :2, 0])
     print(f"decode wall: {(time.time() - t0)/5*1e3:.1f} ms/batch{BATCH}")
 
-    log_dir = "/tmp/t2s_trace_dec"
-    os.system(f"rm -rf {log_dir}")
-    with jax.profiler.trace(log_dir):
-        out = dec(cparams, grid)
-        _ = np.asarray(out[0, :2, :2, 0])
+    from text_to_sound_synthesis_tpu.utils.trace import DeviceTrace
 
-    files = sorted(glob.glob(f"{log_dir}/**/*.trace.json.gz", recursive=True),
-                   key=os.path.getmtime)
-    with gzip.open(files[-1], "rt") as f:
-        trace = json.load(f)
-    pids_by_name = {}
-    for ev in trace.get("traceEvents", []):
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
-            pids_by_name[ev["pid"]] = ev.get("args", {}).get("name", "")
-    dev_pids = {p for p, n in pids_by_name.items() if "TPU" in n}
-    per = defaultdict(float)
-    cnts = defaultdict(int)
-    total = 0.0
-    for ev in trace.get("traceEvents", []):
-        if ev.get("ph") != "X" or "dur" not in ev or ev.get("pid") not in dev_pids:
-            continue
-        name = ev["name"].rsplit(".", 1)[0]
-        per[name] += ev["dur"]
-        cnts[name] += 1
-        total += ev["dur"]
-    print(f"device total {total/1e3:.2f} ms")
-    for nm, us in sorted(per.items(), key=lambda kv: -kv[1])[:20]:
-        print(f"{us/1e3:9.3f} ms x{cnts[nm]:5d}  {nm[:80]}")
+    tr = DeviceTrace.capture(
+        lambda: np.asarray(dec(cparams, grid)[0, :2, :2, 0]),
+        "/tmp/t2s_trace_dec")
+    print(f"device total {tr.total_us()/1e3:.2f} ms "
+          f"[jit dispatch {tr.jit_wrapper_us()/1e3:.2f} ms]")
+    for nm, (us, n) in tr.by_name(strip_instance=True, top=20):
+        print(f"{us/1e3:9.3f} ms x{n:5d}  {nm[:80]}")
+    print("by hlo_category:")
+    for nm, (us, n) in tr.by_category()[:6]:
+        print(f"{us/1e3:9.3f} ms x{n:5d}  {nm}")
 
 
 if __name__ == "__main__":

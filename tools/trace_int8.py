@@ -10,13 +10,9 @@ conditioning first (models/diffusion/calibrate.py) and traces the
 abs-max-free static-quant engine instead of the dynamic one.
 """
 
-import glob
-import gzip
-import json
 import os
 import sys
 import time
-from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -96,47 +92,18 @@ def main():
     _ = np.asarray(out[0, :2])
     print(f"compile+first {time.time() - t0:.1f}s", file=sys.stderr)
 
-    log_dir = "/tmp/t2s_trace"
-    os.system(f"rm -rf {log_dir}")
-    with jax.profiler.trace(log_dir):
-        out = run(qp, jax.random.PRNGKey(2), cond)
-        _ = np.asarray(out[0, :2])
+    from text_to_sound_synthesis_tpu.utils.trace import DeviceTrace
 
-    files = sorted(glob.glob(f"{log_dir}/**/*.trace.json.gz", recursive=True),
-                   key=os.path.getmtime)
-    if not files:
-        print("no trace produced", file=sys.stderr)
-        sys.exit(1)
-    with gzip.open(files[-1], "rt") as f:
-        trace = json.load(f)
+    tr = DeviceTrace.capture(
+        lambda: np.asarray(run(qp, jax.random.PRNGKey(2), cond)[0, :2]),
+        "/tmp/t2s_trace")
 
-    # device-stream complete events only (pid/tid naming differs by backend;
-    # heuristically keep events with 'dur' whose names look like kernels)
-    per_kernel = defaultdict(float)
-    counts = defaultdict(int)
-    total = 0.0
-    pids_by_name = {}
-    for ev in trace.get("traceEvents", []):
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
-            pids_by_name[ev["pid"]] = ev.get("args", {}).get("name", "")
-    dev_pids = {p for p, n in pids_by_name.items()
-                if "TPU" in n or "/device" in n.lower() or "XLA" in n}
-    for ev in trace.get("traceEvents", []):
-        if ev.get("ph") != "X" or "dur" not in ev:
-            continue
-        if dev_pids and ev.get("pid") not in dev_pids:
-            continue
-        name = ev.get("name", "?")
-        per_kernel[name] += ev["dur"]
-        counts[name] += 1
-        total += ev["dur"]
-
-    print(f"\ntrace file: {files[-1]}")
-    print(f"total device event time: {total/1e3:.2f} ms over {steps} steps "
-          f"({total/1e3/steps:.3f} ms/step)\n")
-    rows = sorted(per_kernel.items(), key=lambda kv: -kv[1])[:25]
-    for name, us in rows:
-        print(f"{us/1e3:9.3f} ms  {us/steps:8.1f} us/step  x{counts[name]:<5d} {name[:90]}")
+    total = tr.total_us(include_wrappers=True)
+    print(f"\ntotal device event time: {total/1e3:.2f} ms over {steps} steps "
+          f"({total/1e3/steps:.3f} ms/step)  "
+          f"[jit dispatch {tr.jit_wrapper_us()/1e3:.2f} ms]\n")
+    for name, (us, n) in tr.by_name(top=25):
+        print(f"{us/1e3:9.3f} ms  {us/steps:8.1f} us/step  x{n:<5d} {name[:90]}")
 
 
 if __name__ == "__main__":
