@@ -207,17 +207,25 @@ def test_async_checkpoint_roundtrip(tmp_path):
     )
 
     state = {"w": jnp.arange(8.0), "step": jnp.asarray(3, jnp.int32)}
-    save_checkpoint(str(tmp_path), "last", state, {"epoch": 1},
-                    async_save=True)
+    save_checkpoint(str(tmp_path), "last", state,
+                    {"epoch": 1, "last_iter": 3}, async_save=True)
     # a second in-flight save must serialize, not corrupt
     save_checkpoint(str(tmp_path), "0e_3iter", state, None, async_save=True)
     wait_for_checkpoints()
 
+    # same iteration -> 'last' wins the tie
     assert latest_checkpoint(str(tmp_path)) == "last"
     got, host = restore_checkpoint(str(tmp_path), "last", template=state)
     np.testing.assert_array_equal(np.asarray(got["w"]), np.arange(8.0))
     assert int(got["step"]) == 3
-    assert host == {"epoch": 1}
+    assert host == {"epoch": 1, "last_iter": 3}
     got2, host2 = restore_checkpoint(str(tmp_path), "0e_3iter", template=state)
     np.testing.assert_array_equal(np.asarray(got2["w"]), np.arange(8.0))
     assert host2 is None
+
+    # a NEWER async ping-pong slot (the solver's per-epoch saves) outranks a
+    # stale 'last'
+    save_checkpoint(str(tmp_path), "auto_a", state,
+                    {"epoch": 2, "last_iter": 7}, async_save=True)
+    wait_for_checkpoints()
+    assert latest_checkpoint(str(tmp_path)) == "auto_a"

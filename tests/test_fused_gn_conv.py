@@ -38,7 +38,7 @@ def _inputs(B, H, W, C, Co, dtype, seed=0):
 
 
 @pytest.mark.parametrize("shape", [
-    (2, 8, 16, 32, 48, 8),     # multi-row-block path (bh < H)
+    (2, 8, 16, 32, 48, 8),
     (1, 5, 53, 64, 64, 32),    # odd W, single batch, production-like groups
     (2, 3, 7, 16, 16, 4),      # tiny, W smaller than the sublane tile
 ])
@@ -90,6 +90,24 @@ def test_per_batch_statistics_differ():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(y[1]), np.asarray(y1[0]), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_multi_row_block_halo_path(monkeypatch):
+    """Force bh < H (several row-block programs) so the clamped top/bottom
+    halo specs and the edge-masking predicates actually execute — at the
+    default VMEM budget every test-sized shape fits one block, but the
+    flagship decoder shapes (H=80) do tile."""
+    import text_to_sound_synthesis_tpu.ops.fused_gn_conv as m
+
+    monkeypatch.setattr(m, "_VMEM_BUDGET", 220 * 1024)
+    B, H, W, C, Co, G = 2, 8, 16, 32, 32, 8
+    x, gamma, beta, k, b = _inputs(B, H, W, C, Co, jnp.float32, seed=11)
+    bh = m._pick_bh(H, W, C, Co, 4)
+    assert 1 <= bh < H, bh
+    y = gn_swish_conv(x, gamma, beta, k, b, groups=G)
+    yr = gn_swish_conv_reference(x, gamma, beta, k, b, groups=G)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_custom_vjp_matches_reference_grads():

@@ -11,10 +11,16 @@ TPU-native addition over the reference: ``async_save=True`` hands the device
 pytree to an ``ocp.AsyncCheckpointer`` — the device->host staging happens
 without blocking the train loop on filesystem IO (the reference's torch.save
 stalls every rank; at production param counts the d2h fetch + serialize is
-seconds per save). Async saves commit atomically (orbax tmp-dir + rename), so
-``latest_checkpoint``/``restore_checkpoint`` never observe a partial write;
-call ``wait_for_checkpoints()`` before reading a checkpoint you just wrote or
-at process exit.
+seconds per save). Async saves commit atomically (orbax tmp-dir + rename).
+
+DURABILITY CONTRACT: async-overwriting an EXISTING name deletes the old copy
+synchronously and commits the replacement only from the background thread —
+so callers must async-save only to fresh or expendable names (the Solver uses
+ping-pong slots + unique epoch tags and saves 'last' synchronously at
+preemption/exit).  The .host.json sidecar is written immediately; it only
+becomes visible to ``latest_checkpoint`` once the checkpoint DIRECTORY has
+committed.  Call ``wait_for_checkpoints()`` before reading a checkpoint you
+just async-wrote and at process exit.
 """
 
 from __future__ import annotations
@@ -90,20 +96,40 @@ def restore_checkpoint(ckpt_dir: str, name: str, template=None):
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
-    """'last' if present, else the highest-iteration tagged checkpoint."""
+    """Name of the newest COMMITTED checkpoint in ckpt_dir.
+
+    Candidates: the mutable names ('last' and the solver's async ping-pong
+    slots 'auto_a'/'auto_b') plus epoch-tagged '<e>e_<it>iter' directories.
+    Ordered by the .host.json sidecar's last_iter when present (the async
+    slots alternate, so directory names alone don't order them), falling back
+    to the iteration embedded in tagged names; 'last' wins ties (it is the
+    explicit final/preemption save).  Orbax tmp dirs of in-flight saves never
+    match any candidate name, so only committed checkpoints are returned."""
     if not os.path.isdir(ckpt_dir):
         return None
-    if os.path.isdir(os.path.join(ckpt_dir, "last")):
-        return "last"
-    tagged = [d for d in os.listdir(ckpt_dir) if d.endswith("iter") and
-              os.path.isdir(os.path.join(ckpt_dir, d))]
-    if not tagged:
-        return None
 
-    def iter_of(d: str) -> int:
+    def tag_iter(d: str) -> int:
         try:
             return int(d.split("_")[-1].replace("iter", ""))
         except ValueError:
             return -1
 
-    return max(tagged, key=iter_of)
+    def sidecar_iter(d: str) -> Optional[int]:
+        try:
+            with open(os.path.join(ckpt_dir, d) + ".host.json") as f:
+                return int(json.load(f).get("last_iter", -1))
+        except (OSError, ValueError, TypeError):
+            return None
+
+    cands = []
+    for d in os.listdir(ckpt_dir):
+        if not os.path.isdir(os.path.join(ckpt_dir, d)):
+            continue
+        if d in ("last", "auto_a", "auto_b") or d.endswith("iter"):
+            it = sidecar_iter(d)
+            if it is None:
+                it = tag_iter(d) if d.endswith("iter") else -1
+            cands.append((it, 1 if d == "last" else 0, d))
+    if not cands:
+        return None
+    return max(cands)[2]

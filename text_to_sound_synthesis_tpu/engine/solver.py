@@ -156,16 +156,31 @@ class Solver:
             "acc_lists": [self.diffusion_acc_list, self.diffusion_keep_list],
         }
         payload = {"state": self.state, "frozen": self.frozen}
-        # async: the train loop resumes while orbax stages+writes in the
-        # background; commits are atomic, and the next save (or the final
-        # wait in train()) serializes against this one
-        save_checkpoint(self.logger.ckpt_dir, "last", payload, host,
-                        async_save=True)
-        if force or (epoch + 1) % self.save_epochs == 0:
-            save_checkpoint(self.logger.ckpt_dir, f"{epoch}e_{it}iter", payload,
-                            host, async_save=True)
-        self.logger.log_info(f"saving checkpoint at epoch {epoch}, iter {it} "
-                             f"(async)")
+        if force:
+            # melk (SIGUSR1 preemption) / end of training: the process may be
+            # killed next, so the save must be DURABLE before returning —
+            # async overwrite of a mutable name deletes the old copy before
+            # the new one commits, exactly the window a preemption would hit.
+            wait_for_checkpoints()
+            save_checkpoint(self.logger.ckpt_dir, "last", payload, host)
+            save_checkpoint(self.logger.ckpt_dir, f"{epoch}e_{it}iter",
+                            payload, host)
+        else:
+            # Per-epoch saves are ASYNC into PING-PONG slots: the train loop
+            # resumes immediately, the commit is atomic, and because the slot
+            # being overwritten is the OLDER of the two, the newest committed
+            # checkpoint is never deleted — a crash mid-write loses only the
+            # in-flight save (latest_checkpoint orders slots/tags by their
+            # sidecar iteration).  Epoch-tagged copies keep history.
+            slot = "auto_a" if epoch % 2 == 0 else "auto_b"
+            save_checkpoint(self.logger.ckpt_dir, slot, payload, host,
+                            async_save=True)
+            if (epoch + 1) % self.save_epochs == 0:
+                save_checkpoint(self.logger.ckpt_dir, f"{epoch}e_{it}iter",
+                                payload, host, async_save=True)
+        self.logger.log_info(
+            f"saving checkpoint at epoch {epoch}, iter {it} "
+            f"({'sync' if force else 'async'})")
 
     def resume(self, name: Optional[str] = None) -> bool:
         wait_for_checkpoints()  # don't race an in-flight async save

@@ -61,13 +61,15 @@ def bench_one(H, W, C, repeats, dtype=jnp.bfloat16, verbose=False):
     b = jnp.zeros((C,), jnp.float32)
 
     def chain(fn):
+        # weights as jit ARGUMENTS, not closure constants (CLAUDE.md: baked-in
+        # arrays blow the remote-compile relay's request-size cap)
         @jax.jit
-        def run(x):
+        def run(x, gamma, beta, k, b):
             def body(h, _):
                 return fn(h, gamma, beta, k, b), ()
             h, _ = jax.lax.scan(body, x, None, length=repeats)
             return h[0, 0, 0, :4]
-        return run
+        return lambda x_: run(x_, gamma, beta, k, b)
 
     out = {}
     for name, fn in [

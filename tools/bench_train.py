@@ -32,7 +32,8 @@ def main():
     from text_to_sound_synthesis_tpu.models.diffsound import build_model
     from text_to_sound_synthesis_tpu.utils.config import load_yaml_config
 
-    dtype = sys.argv[1] if len(sys.argv) > 1 else "float32"
+    positional = [a for a in sys.argv[1:] if not a.startswith("-")]
+    dtype = positional[0] if positional else "float32"
     cfg = load_yaml_config("configs/diffsound_audiocaps.yaml")
     # activation dtype: 'float32' (reference parity) or 'bfloat16' (TPU-native,
     # ~28% faster at batch 20)

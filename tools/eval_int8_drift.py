@@ -145,8 +145,13 @@ def main(argv=None):
 
     from text_to_sound_synthesis_tpu.models.diffsound import parse_sample_type
 
-    r = float(args.sample_type.split(",")[0][3:-1]) if args.sample_type.startswith("top") else 0.0
+    # one parser for the whole flag (validates the head); the raw samplers
+    # here only take a truncation ratio, so reject non-top-r heads up front
     _, skip_step, _ = parse_sample_type(args.sample_type)
+    head = args.sample_type.split(",")[0]
+    if not (head.startswith("top") and head.endswith("r")):
+        raise SystemExit(f"drift eval supports top-r heads, got {head!r}")
+    r = float(head[3:-1])
     sched = model.diffusion.schedule()
 
     embed = jax.jit(lambda params, toks: model.embed_condition(params, toks))

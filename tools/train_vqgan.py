@@ -177,12 +177,21 @@ def main():
                 done = True
                 break
         epoch += 1
-        save_checkpoint(logger.ckpt_dir, "last", {"state": state},
-                        {"epoch": epoch, "step": int(jax.device_get(state.step))},
+        it = int(jax.device_get(state.step))
+        # async ping-pong slots: never delete the newest committed checkpoint
+        # while its replacement is still in flight (engine/checkpoint.py
+        # durability contract); last_iter orders the slots on resume
+        save_checkpoint(logger.ckpt_dir,
+                        "auto_a" if epoch % 2 == 0 else "auto_b",
+                        {"state": state},
+                        {"epoch": epoch, "step": it, "last_iter": it},
                         async_save=True)
         if epoch % args.val_every_epochs == 0:
             validate(epoch)
     wait_for_checkpoints()
+    it = int(jax.device_get(state.step))
+    save_checkpoint(logger.ckpt_dir, "last", {"state": state},
+                    {"epoch": epoch, "step": it, "last_iter": it})
     logger.log_info("training done")
 
 
