@@ -140,20 +140,29 @@ class Engine:
             mesh = make_mesh(data=ndev)
             print(f"[serve] int8 sharded over {ndev} devices", flush=True)
 
+            # qp as a jit ARGUMENT, not a closure constant: captured arrays
+            # are embedded in the HLO and blow the remote-compile relay's
+            # request-size cap (HTTP 413 — CLAUDE.md)
             @jax.jit
-            def run(params, key, toks):
+            def run_sharded(params, qp, key, toks):
                 cond_emb = self.model.embed_condition(params, toks)
                 tokens = sample_tokens_int8_sharded(
                     mesh, qp, sched, key, cond_emb, truncation_r=r,
                     skip_step=skip)
                 return self.model.decode_tokens(params, tokens)
+
+            qp = jax.device_put(qp)
+            run = lambda params, key, toks: run_sharded(params, qp, key, toks)  # noqa: E731
         elif args.int8:
             qp = self._maybe_calibrate(self.model.quantize_for_serving(self.params))
 
             @jax.jit
-            def run(params, key, toks):
+            def run_int8(params, qp, key, toks):
                 return self.model.generate_int8(params, qp, key, toks,
                                                 sample_type=args.sample_type)
+
+            qp = jax.device_put(qp)
+            run = lambda params, key, toks: run_int8(params, qp, key, toks)  # noqa: E731
         else:
             @jax.jit
             def run(params, key, toks):
@@ -327,7 +336,12 @@ def main(argv=None):
     engine = Engine(args)
     from http.server import ThreadingHTTPServer
 
-    srv = ThreadingHTTPServer((args.host, args.port), make_handler(engine))
+    class _Server(ThreadingHTTPServer):
+        # stdlib default accept backlog is 5: a 64-way burst of connects gets
+        # connection resets before the handler ever runs (measured)
+        request_queue_size = 256
+
+    srv = _Server((args.host, args.port), make_handler(engine))
     print(f"[serve] listening on http://{args.host}:{args.port} "
           f"(int8={args.int8}, vocoder={'yes' if engine.vocoder else 'mel-only'})",
           flush=True)
