@@ -5,7 +5,12 @@ between bf16-generated and int8-generated sample sets must not exceed the
 bf16 seed-to-seed resampling floor (drift ratio <= 1.0 x floor, with a small
 noise allowance). Measured on v5e-1 at flagship geometry: 0.70x on random
 weights, 0.44x after 40 warmup steps (r2), re-confirmed r3 with 500 warmup
-steps / 64 clips per set — see CLAUDE.md ledger.
+steps / 64 clips per set — see CLAUDE.md ledger. The fast25 serving mode
+(skip_step=3, the 52 clips/s bench row) was measured at drift_ratio 0.4345
+under the same 40-step/24-clip protocol (r3-s2, via
+``tools/eval_int8_drift.py --static --sample_type "top0.85r,fast3"``);
+its CPU-side twin gate is
+tests/test_int8_runtime.py::test_fast_sampler_int8_tracks_fp_fast_sampler.
 
 TPU-only: the flagship sampler is impractical on the 1-core CPU suite (the
 int8 MATH is still covered there by tests/test_int8_runtime.py's tightened
