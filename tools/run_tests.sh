@@ -6,7 +6,7 @@
 # well under that limit and the chunks together cover every file in tests/.
 # A coverage guard at the end fails if a new test file is not in any chunk.
 #
-# Usage: sh tools/run_tests.sh [chunk]   (chunk = 1..5; default: all)
+# Usage: sh tools/run_tests.sh [chunk]   (chunk = 1..7; default: all)
 set -u
 cd "$(dirname "$0")/.."
 
@@ -17,14 +17,15 @@ tests/test_clip.py tests/test_melgan.py tests/test_data.py tests/test_config.py 
 tests/test_trace_util.py"
 CHUNK2="tests/test_diffusion_model.py tests/test_composite.py tests/test_engine.py \
 tests/test_solver.py tests/test_evaluation.py tests/test_captioner.py \
-tests/test_caption_metrics_full.py tests/test_parallel.py"
-CHUNK3="tests/test_convert.py tests/test_reference_parity.py tests/test_melception_full.py \
-tests/test_learning.py tests/test_checkpoint_gate.py tests/test_longform.py"
-CHUNK4="tests/test_cli.py tests/test_classifier_solver.py tests/test_native_loader.py \
-tests/test_int8_drift_gate.py \
+tests/test_caption_metrics_full.py"
+CHUNK3="tests/test_convert.py tests/test_reference_parity.py tests/test_melception_full.py"
+CHUNK6="tests/test_learning.py tests/test_checkpoint_gate.py tests/test_longform.py"
+CHUNK7="tests/test_serve_cli.py tests/test_classifier_solver.py tests/test_native_loader.py \
 tests/test_int8_runtime.py"
+CHUNK4="tests/test_cli.py tests/test_int8_drift_gate.py"
 CHUNK5="tests/test_vocoder_training.py tests/test_vocoder_learning.py \
-tests/test_vqgan_training.py tests/test_static_quant.py tests/test_fused_gn_conv.py"
+tests/test_vqgan_training.py tests/test_static_quant.py tests/test_fused_gn_conv.py \
+tests/test_parallel.py"
 
 fail=0
 run_chunk() {
@@ -34,7 +35,7 @@ run_chunk() {
 }
 
 check_coverage() {
-    all="$CHUNK1 $CHUNK2 $CHUNK3 $CHUNK4 $CHUNK5"
+    all="$CHUNK1 $CHUNK2 $CHUNK3 $CHUNK4 $CHUNK5 $CHUNK6 $CHUNK7"
     for f in tests/test_*.py; do
         case " $all " in
             *" $f "*) ;;
@@ -49,6 +50,8 @@ case "${1:-all}" in
     3) run_chunk 3 "$CHUNK3" ;;
     4) run_chunk 4 "$CHUNK4" ;;
     5) run_chunk 5 "$CHUNK5" ;;
+    6) run_chunk 6 "$CHUNK6" ;;
+    7) run_chunk 7 "$CHUNK7" ;;
     all)
         check_coverage
         run_chunk 1 "$CHUNK1"
@@ -56,7 +59,9 @@ case "${1:-all}" in
         run_chunk 3 "$CHUNK3"
         run_chunk 4 "$CHUNK4"
         run_chunk 5 "$CHUNK5"
+        run_chunk 6 "$CHUNK6"
+        run_chunk 7 "$CHUNK7"
         ;;
-    *) echo "usage: sh tools/run_tests.sh [1|2|3|4|5|all]"; exit 2 ;;
+    *) echo "usage: sh tools/run_tests.sh [1|2|3|4|5|6|7|all]"; exit 2 ;;
 esac
 exit $fail
