@@ -121,3 +121,31 @@ def test_sharded_loader_threaded_workers(tmp_path):
     assert len(batches) == 2
     seen = {t.split()[-1] for b in batches for t in b["text"]}
     assert len(seen) == 8
+
+
+def test_make_split_files_midpath_wildcard(tmp_path):
+    """The shipped configs put the class wildcard MID-path
+    ('features/*/melspec_10s_22050hz'); the class written to the split rows
+    must be the component the '*' matched, so that __getitem__'s
+    spec_dir_path.replace('*', cls) round-trips to an existing file."""
+    import numpy as np
+
+    from text_to_sound_synthesis_tpu.data.datasets import make_split_files
+
+    for cls in ("dog", "rain"):
+        p = tmp_path / "features" / cls / "melspec_10s_22050hz"
+        p.mkdir(parents=True)
+        for v in ("a", "b"):
+            np.save(str(p / f"{cls}_{v}_mel.npy"), np.zeros((4, 4)))
+    spec_dir = str(tmp_path / "features" / "*" / "melspec_10s_22050hz")
+    make_split_files(str(tmp_path / "split_train.txt"), spec_dir,
+                     train_frac=1.0)
+    rows = (tmp_path / "split_train.txt").read_text().split()
+    assert sorted(rows) == ["dog/dog_a", "dog/dog_b", "rain/rain_a",
+                            "rain/rain_b"]
+    import os
+
+    for r in rows:
+        cls, vid = r.split("/")
+        assert os.path.exists(
+            os.path.join(spec_dir.replace("*", cls), vid + "_mel.npy"))

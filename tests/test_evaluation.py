@@ -178,3 +178,45 @@ def test_melception_blocks_vs_torch_transcription(rng):
     params = convert_melception(sd, params)
     got = np.asarray(ours.apply(params, xj))
     np.testing.assert_allclose(np.transpose(got, (0, 3, 1, 2)), want, atol=2e-4)
+
+
+def test_multihost_gather_unequal_shards(tmp_path, rng, monkeypatch):
+    """extract_features(multihost=True) with a file count NOT divisible by
+    the host count: process_allgather requires equal shapes, so per-host
+    features must be padded to the max shard size and the padding dropped
+    after the gather. Simulated with a fake 2-host allgather (host 0's
+    padded array duplicated), which still pins the pad/reconstruct/ordering
+    contract this process can't otherwise exercise."""
+    from text_to_sound_synthesis_tpu.evaluation import features as F
+    from text_to_sound_synthesis_tpu.models.melception import Melception
+
+    for i in range(3):  # 3 files on 2 "hosts" -> shards of 2 and 1
+        np.save(str(tmp_path / f"s{i}.npy"), rng.random((16, 32)).astype(np.float32))
+    folder = F.FakesFolder(str(tmp_path))
+
+    model = Melception(num_classes=4, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 16, 32), jnp.float32))
+
+    seen = {}
+
+    def fake_allgather(v):
+        seen[v.shape] = True
+        return np.stack([v, v])  # both "hosts" report host-0's padded shard
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    import jax.experimental.multihost_utils as mhu
+
+    monkeypatch.setattr(mhu, "process_allgather", fake_allgather)
+
+    out = F.extract_features(model, params, folder, batch_size=2,
+                             multihost=True)
+    # host 0 holds ceil(3/2)=2 rows; gather reconstruction = 2 + 1 = 3 rows
+    for k, v in out.items():
+        if k == "file_path_":
+            assert v == [folder.files[0], folder.files[2], folder.files[1]]
+        else:
+            assert v.shape[0] == 3, (k, v.shape)
+    # every gathered array was padded to the equal per-host size (2 rows)
+    assert all(shape[0] == 2 for shape in seen)

@@ -87,7 +87,10 @@ class _MelCaptionDataset:
         base = mel_root or os.path.join(data_root, "features")
         self.mel_dir = os.path.join(base, mel_phase, "melspec_10s_22050hz")
         self.names = self._load_names()
-        self.captions = {n: self._load_captions(n) for n in self.names}
+        # captions load LAZILY with a cache: eagerly opening one .txt per
+        # manifest entry stalls construction for minutes at AudioSet scale
+        # (~2M clips) on a 1-core host
+        self._captions: dict = {}
 
     def _load_names(self) -> List[str]:
         pkl = os.path.join(self.data_root, self.phase, "filenames.pickle")
@@ -97,6 +100,12 @@ class _MelCaptionDataset:
         txt = os.path.join(self.data_root, self.phase, "filenames.txt")
         with open(txt) as f:
             return [line.strip() for line in f if line.strip()]
+
+    def captions(self, name: str) -> List[str]:
+        caps = self._captions.get(name)
+        if caps is None:
+            caps = self._captions[name] = self._load_captions(name)
+        return caps
 
     def _load_captions(self, name: str) -> List[str]:
         path = os.path.join(self.data_root, "text", self.phase, name + ".txt")
@@ -113,7 +122,7 @@ class _MelCaptionDataset:
         spec = np.load(os.path.join(self.mel_dir, name + "_mel.npy"))
         spec = self.crop(spec, rng)
         image = to_model_range(spec)[None, :, :].astype(np.float32)  # (1, H, W)
-        caps = self.captions[name]
+        caps = self.captions(name)
         caption = caps[int(rng.integers(0, len(caps)))].lower()
         return {"image": image, "text": caption}
 
@@ -129,7 +138,7 @@ class _MelCaptionDataset:
             paths.append(path)
             tops.append(top)
             lefts.append(left)
-            caps = self.captions[name]
+            caps = self.captions(name)
             texts.append(caps[int(rng.integers(0, len(caps)))].lower())
         mels = _load_mels(paths, self.crop, tops, lefts)
         return {"image": mels[:, None, :, :], "text": texts}
@@ -162,10 +171,20 @@ def make_split_files(split_path: str, spec_dir_path: str, suffix: str = "_mel.np
     (``Codebook/specvqgan/data/caps.py:15-63`` behavior)."""
     import glob as _glob
 
+    # the class is the path component the '*' wildcard matched — NOT the
+    # file's immediate parent: the shipped configs put the wildcard mid-path
+    # ('features/*/melspec_10s_22050hz'), and __getitem__ substitutes the
+    # class back into that same position (spec_dir_path.replace('*', cls))
+    parts = os.path.normpath(spec_dir_path).split(os.sep)
+    star_idx = next((i for i, p in enumerate(parts) if "*" in p), None)
+
     rows = []
     for path in sorted(_glob.glob(os.path.join(spec_dir_path, "*" + suffix))):
         vid = os.path.basename(path)[: -len(suffix)]
-        cls = os.path.basename(os.path.dirname(path))
+        if star_idx is not None:
+            cls = os.path.normpath(path).split(os.sep)[star_idx]
+        else:
+            cls = os.path.basename(os.path.dirname(path))
         rows.append(f"{cls}/{vid}")
     rng = np.random.default_rng(seed)
     rng.shuffle(rows)

@@ -130,9 +130,24 @@ class ShardedLoader:
             if native_available():
                 load_batch = self.dataset.load_batch
 
+        # If the consumer abandons iteration early (exception in the train
+        # loop, a tool taking one batch), the producer must not block forever
+        # on a full queue holding batches + its thread pool: every put polls
+        # this stop flag, set by the consumer generator's finally.
+        stop = threading.Event()
+
+        def safe_put(q: queue.Queue, item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce(q: queue.Queue):
+            pool = None
             try:
-                pool = None
                 if load_batch is None and self.num_workers > 0:
                     from concurrent.futures import ThreadPoolExecutor
 
@@ -142,7 +157,8 @@ class ShardedLoader:
                     if len(batch_idx) < self.batch_size and self.drop_last:
                         break
                     if load_batch is not None:
-                        q.put(load_batch(batch_idx, rng=item_rng))
+                        if not safe_put(q, load_batch(batch_idx, rng=item_rng)):
+                            return
                         continue
                     if pool is not None:
                         if takes_rng:
@@ -155,24 +171,31 @@ class ShardedLoader:
                             items = list(pool.map(fetch, batch_idx))
                     else:
                         items = [fetch(i) for i in batch_idx]
-                    q.put(_collate(items))
+                    if not safe_put(q, _collate(items)):
+                        return
+                safe_put(q, None)
+            except BaseException as e:  # surface worker errors to the consumer
+                safe_put(q, e)
+            finally:
                 if pool is not None:
                     pool.shutdown(wait=False)
-                q.put(None)
-            except BaseException as e:  # surface worker errors to the consumer
-                q.put(e)
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         t = threading.Thread(target=produce, args=(q,), daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        self.epoch += 1  # auto-advance like DistributedSampler.set_epoch usage
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+        # auto-advance like DistributedSampler.set_epoch usage — only on full
+        # consumption, so an abandoned/retried epoch keeps its shuffle order
+        self.epoch += 1
 
 
 def _accepts_rng(ds) -> bool:

@@ -72,9 +72,21 @@ def _average_precision(y: np.ndarray, scores: np.ndarray) -> float:
 
 
 def _roc_auc(y: np.ndarray, scores: np.ndarray) -> float:
+    # Mann-Whitney with AVERAGE ranks for ties (sklearn semantics): ordinal
+    # ranks make tied positive/negative scores contribute 1.0 or 0.0 by
+    # argsort order instead of the correct 0.5
     order = np.argsort(scores)
     ranks = np.empty(len(scores))
     ranks[order] = np.arange(1, len(scores) + 1)
+    s = scores[order]
+    i = 0
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and s[j + 1] == s[i]:
+            j += 1
+        if j > i:
+            ranks[order[i:j + 1]] = (i + j) / 2 + 1
+        i = j + 1
     n_pos, n_neg = y.sum(), (1 - y).sum()
     return float((ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
 

@@ -273,6 +273,12 @@ class Solver:
         batched ``device_get``.
         """
         loader = self.dataloader["train_loader"]
+        if hasattr(loader, "set_epoch"):
+            # pin the shuffle/caption-draw epoch to the TRAINING epoch (the
+            # DistributedSampler.set_epoch parity): without this a resumed
+            # run's loader restarts at its internal epoch 0 and replays the
+            # early epochs' data order
+            loader.set_epoch(epoch)
         itr_start = time.time()
         last_loss = float("nan")
         host_step = int(jax.device_get(self.state.step))  # one sync per epoch

@@ -105,30 +105,45 @@ def make_vqgan_train_step(
         step = state.step
         disc_factor = adopt_weight(cfg.disc_factor, step, cfg.disc_start)
 
+        def disc_logits(dvars, r):
+            # generator-phase D forward uses BATCH statistics like the
+            # reference (its module is in train mode for every forward,
+            # vqperceptual.py); the running-average updates are discarded —
+            # the D phase below is the stats bookkeeper
+            out, _ = disc.apply(dvars, r, train=True, mutable=["batch_stats"])
+            return out
+
         # ---- adaptive disc weight at the decoder's last layer --------------
-        w_last = state.ae_params["params"]["decoder"]["conv_out"]["kernel"]
+        if cfg.min_adapt_weight == cfg.max_adapt_weight:
+            # clamp(x, c, c) == c: skip the extra codec forward + LPAPS and
+            # disc gradients entirely (the production audioset config pins
+            # the weight to 1.0; math is identical to the reference's
+            # clamped calculate_adaptive_weight)
+            d_weight = jnp.float32(cfg.min_adapt_weight * cfg.disc_weight)
+        else:
+            w_last = state.ae_params["params"]["decoder"]["conv_out"]["kernel"]
 
-        def rec_from_w(w):
-            p2 = _replace_leaf(state.ae_params, LAST, w)
-            xrec, _ = codec.apply(p2, mel)
-            return xrec
+            def rec_from_w(w):
+                p2 = _replace_leaf(state.ae_params, LAST, w)
+                xrec, _ = codec.apply(p2, mel)
+                return xrec
 
-        xrec0, pullback = jax.vjp(rec_from_w, w_last)
-        dnll_drec = jax.grad(lambda r: nll_of(mel, r, lpaps_params)[0])(xrec0)
-        dg_drec = jax.grad(
-            lambda r: hinge_g_loss(disc.apply(state.disc_vars, r, train=False))
-        )(xrec0)
-        nll_g = pullback(dnll_drec)[0]
-        g_g = pullback(dg_drec)[0]
-        d_weight = jnp.linalg.norm(nll_g.ravel()) / (jnp.linalg.norm(g_g.ravel()) + 1e-4)
-        d_weight = jnp.clip(d_weight, cfg.min_adapt_weight, cfg.max_adapt_weight)
-        d_weight = jax.lax.stop_gradient(d_weight * cfg.disc_weight)
+            xrec0, pullback = jax.vjp(rec_from_w, w_last)
+            dnll_drec = jax.grad(lambda r: nll_of(mel, r, lpaps_params)[0])(xrec0)
+            dg_drec = jax.grad(
+                lambda r: hinge_g_loss(disc_logits(state.disc_vars, r))
+            )(xrec0)
+            nll_g = pullback(dnll_drec)[0]
+            g_g = pullback(dg_drec)[0]
+            d_weight = jnp.linalg.norm(nll_g.ravel()) / (jnp.linalg.norm(g_g.ravel()) + 1e-4)
+            d_weight = jnp.clip(d_weight, cfg.min_adapt_weight, cfg.max_adapt_weight)
+            d_weight = jax.lax.stop_gradient(d_weight * cfg.disc_weight)
 
         # ---- AE phase ------------------------------------------------------
         def ae_loss_fn(ae_params):
             xrec, vq = codec.apply(ae_params, mel)
             nll, p_loss = nll_of(mel, xrec, lpaps_params)
-            logits_fake = disc.apply(state.disc_vars, xrec, train=False)
+            logits_fake = disc_logits(state.disc_vars, xrec)
             g_loss = hinge_g_loss(logits_fake)
             loss = nll + d_weight * disc_factor * g_loss + cfg.codebook_weight * vq.loss
             aux = {"nll_loss": nll, "p_loss": p_loss, "g_loss": g_loss,

@@ -27,6 +27,22 @@ from .metrics import calculate_fid, calculate_isc, calculate_kid, calculate_kl
 __all__ = ["FakesFolder", "extract_features", "evaluate_folders"]
 
 
+_FWD_CACHE: list = [None]  # (model, jitted forward) — most recent model only
+
+
+def _jitted_forward(model):
+    """One jitted Melception forward per model instance (params passed as an
+    ARGUMENT, not baked in as jit constants): evaluate_folders calls
+    extract_features twice and the reference-feature path repeatedly — a
+    fresh @jax.jit per call recompiled the identical graph each time."""
+    ent = _FWD_CACHE[0]
+    if ent is not None and ent[0] is model:
+        return ent[1]
+    fn = jax.jit(lambda params, batch: model.apply(params, batch))
+    _FWD_CACHE[0] = (model, fn)
+    return fn
+
+
 class FakesFolder:
     """Directory of generated ``*.npy`` mel files (values in [0,1] or [-1,1])."""
 
@@ -71,15 +87,15 @@ def extract_features(
     """
     mean_v = np.asarray(means, np.float32).reshape(-1, 1) if means is not None else 0.0
     std_v = np.asarray(stds, np.float32).reshape(-1, 1) if stds is not None else 1.0
+    params = jax.device_put(params)
 
     n = len(folder)
     indices = list(range(n))
     if multihost and jax.process_count() > 1:
         indices = indices[jax.process_index() :: jax.process_count()]
 
-    @jax.jit
-    def forward(batch):
-        return model.apply(params, batch)
+    forward = _jitted_forward(model)  # shared jit: one Melception compile
+                                      # per process, params as an argument
 
     feats: Dict[str, List[np.ndarray]] = {}
     paths: List[str] = []
@@ -91,7 +107,7 @@ def extract_features(
         if len(batch) < batch_size:  # pad to static shape, drop afterwards
             pad = batch_size - len(batch)
             batch = np.concatenate([batch, np.zeros((pad,) + batch.shape[1:], np.float32)])
-        out = jax.device_get(forward(jnp.asarray(batch)))
+        out = jax.device_get(forward(params, jnp.asarray(batch)))
         take = len(batch_paths)
         for k, v in out.items():
             feats.setdefault(k, []).append(np.asarray(v)[:take])
@@ -101,15 +117,37 @@ def extract_features(
     if multihost and jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
-        gathered = {
-            k: np.concatenate(multihost_utils.process_allgather(v), axis=0)
-            for k, v in result.items() if k != "file_path_"
-        }
-        # paths are strings: gather via the folder's deterministic ordering
+        # process_allgather requires EQUAL shapes across hosts; the strided
+        # shard gives host p ceil((n - p) / P) rows, so pad every array to
+        # the max per-host count and drop the padding after the gather
+        # (per-host valid counts are deterministic from n and P alone)
+        P = jax.process_count()
+        counts = [len(range(p, n, P)) for p in range(P)]
+        m = max(counts)
+
+        def pad(v):
+            if len(v) == m:
+                return v
+            fill = np.zeros((m - len(v),) + v.shape[1:], v.dtype)
+            return np.concatenate([v, fill], axis=0)
+
+        gathered = {}
+        for k, v in result.items():
+            if k == "file_path_":
+                continue
+            g = np.asarray(multihost_utils.process_allgather(pad(v)))
+            g = g.reshape((P, m) + v.shape[1:])
+            gathered[k] = np.concatenate(
+                [g[p, :counts[p]] for p in range(P)], axis=0)
+        # paths are strings: rebuild from the folder's deterministic ordering
+        # (folder.files when available — indexing folder[i] would np.load
+        # every file just to read back its path)
+        files = getattr(folder, "files", None)
+        path_of = (lambda i: files[i]) if files is not None \
+            else (lambda i: folder[i][1])
         all_paths = []
-        for p in range(jax.process_count()):
-            all_paths.extend(folder[i][1] for i in range(n)
-                             if i % jax.process_count() == p)
+        for p in range(P):
+            all_paths.extend(path_of(i) for i in range(p, n, P))
         gathered["file_path_"] = all_paths
         return gathered
     return result
