@@ -211,3 +211,73 @@ def test_gptfeatsclass_forward_and_sample(rng):
 
     tokens = ar_sample(model, params, jax.random.PRNGKey(1), cond, steps=5, top_k=4)
     assert tokens.shape == (2, 5)
+
+
+def test_prefill_matches_full_forward_with_n_unmasked(rng):
+    """n_unmasked > 1 (the reference GPTFeats convention): prefix queries
+    attend to FUTURE prefix keys, which sequential decode_step can never
+    reproduce — decode_prefix must batch-prefill with the training mask and
+    hand over a cache that continues identically to the full forward."""
+    Tc = 3
+    model = GPT(vocab_size=12, block_size=18, n_layer=2, n_head=2, n_embd=16,
+                n_unmasked=Tc)
+    emb = jnp.asarray(rng.standard_normal((2, Tc, 16)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 12, (2, 4)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), idx[:, :1])
+    full = np.asarray(model.apply(params, idx, emb))  # (2, Tc+4, 12)
+
+    cache = model.apply(params, 2, method=model.init_cache)
+    logits, cache = model.apply(params, emb, cache, method=model.decode_prefix)
+    outs = [np.asarray(logits)]  # logits at prefix position Tc-1
+    for t in range(4):
+        logits, cache = model.apply(params, idx[:, t], cache, Tc + t,
+                                    method=model.decode_token)
+        outs.append(np.asarray(logits))
+    np.testing.assert_allclose(np.stack(outs, 1), full[:, Tc - 1:], atol=2e-5)
+
+    # and the n_unmasked=0 prefill is equivalent to the old sequential path
+    model0 = GPT(**GCFG)
+    params0 = model0.init(jax.random.PRNGKey(0), idx[:, :1])
+    full0 = np.asarray(model0.apply(params0, idx, emb))
+    cache0 = model0.apply(params0, 2, method=model0.init_cache)
+    lg, cache0 = model0.apply(params0, emb, cache0, method=model0.decode_prefix)
+    np.testing.assert_allclose(np.asarray(lg), full0[:, Tc - 1], atol=2e-5)
+
+
+def test_net2net_pkeep_token_corruption(rng):
+    """pkeep < 1 (reference cond_transformer.py): input tokens are corrupted
+    during training while targets stay clean — loss must differ from the
+    clean-input loss and require a key."""
+    from tests.test_gpt import GCFG  # self-import safe under pytest
+
+    ddconfig = dict(double_z=False, z_channels=8, resolution=16, in_channels=1,
+                    out_ch=1, ch=8, ch_mult=[1, 2], num_res_blocks=1,
+                    attn_resolutions=[], dropout=0.0)
+    common = dict(
+        transformer_config={"params": {
+            "feat_embedding_config": {
+                "target": "torch.nn.Conv1d",
+                "params": {"in_channels": 8, "out_channels": 16,
+                           "kernel_size": 1}},
+            "GPT_config": dict(vocab_size=10, block_size=40, n_layer=1,
+                               n_head=2, n_embd=16),
+        }},
+        first_stage_config={"target":
+                            "text_to_sound_synthesis_tpu.models.vqgan.VQModel",
+                            "params": dict(ddconfig=ddconfig, n_embed=10,
+                                           embed_dim=8)},
+    )
+    clean = Net2NetTransformer(**common, pkeep=1.0)
+    corrupt = Net2NetTransformer(**common, pkeep=0.3)
+    mel = jnp.asarray(rng.standard_normal((2, 8, 16, 1)), jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((2, 8, 3)), jnp.float32)
+    params = clean.init_params(jax.random.PRNGKey(0), mel_shape=(1, 8, 16, 1),
+                               cond_shape=(1, 8, 3))
+
+    l_clean, _ = clean.loss(params, mel, feats)
+    with pytest.raises(ValueError):
+        corrupt.loss(params, mel, feats)
+    l_a, _ = corrupt.loss(params, mel, feats, key=jax.random.PRNGKey(1))
+    l_b, _ = corrupt.loss(params, mel, feats, key=jax.random.PRNGKey(2))
+    assert float(l_a) != float(l_clean)
+    assert float(l_a) != float(l_b)  # corruption is key-dependent

@@ -77,6 +77,26 @@ class CausalSelfAttention(nn.Module):
         y = jnp.einsum("bhs,bshd->bhd", att, v).reshape(B, 1, C)
         return self.proj(y), LayerCache(k, v)
 
+    def prefill(self, x, cache: LayerCache) -> Tuple[jnp.ndarray, LayerCache]:
+        """Batch-prefill positions [0, T) with the TRAINING mask (causal +
+        minGPT's unmasked [:n,:n] conditioning prefix).  Sequential
+        decode_step cannot reproduce the unmasked prefix — a prefix query
+        attends to FUTURE prefix keys that are not cached yet — so cached
+        sampling must prefill the conditioning in one pass."""
+        B, T, C = x.shape
+        q, k, v = self._split(self.query(x)), self._split(self.key(x)), self._split(self.value(x))
+        att = jnp.einsum("blhd,bshd->bhls", q, k) / math.sqrt(C // self.n_head)
+        mask = jnp.tril(jnp.ones((T, T), bool))
+        if self.n_unmasked > 0:
+            n = self.n_unmasked
+            mask = mask.at[:n, :n].set(True)
+        att = jnp.where(mask[None, None], att, -jnp.inf)
+        att = nn.softmax(att.astype(jnp.float32), axis=-1).astype(self.dtype)
+        y = jnp.einsum("bhls,bshd->blhd", att, v).reshape(B, T, C)
+        k_all = jax.lax.dynamic_update_slice(cache.k, k, (0, 0, 0, 0))
+        v_all = jax.lax.dynamic_update_slice(cache.v, v, (0, 0, 0, 0))
+        return self.proj(y), LayerCache(k_all, v_all)
+
 
 class GPTBlock(nn.Module):
     n_embd: int
@@ -104,6 +124,11 @@ class GPTBlock(nn.Module):
 
     def decode_step(self, x, cache: LayerCache, pos):
         a, cache = self.attn.decode_step(self.ln1(x), cache, pos)
+        x = x + a
+        return x + self._mlp(self.ln2(x)), cache
+
+    def prefill(self, x, cache: LayerCache):
+        a, cache = self.attn.prefill(self.ln1(x), cache)
         x = x + a
         return x + self._mlp(self.ln2(x)), cache
 
@@ -172,6 +197,19 @@ class GPT(nn.Module):
         """One step from token ids (B,) at position ``pos``."""
         return self.decode_embedded(self.tok_emb(token)[:, None], cache, pos)
 
+    def decode_prefix(self, x_emb: jnp.ndarray, cache):
+        """Batch-prefill the conditioning prefix (B, Tc, D) in ONE pass with
+        the training mask: required for n_unmasked > 0 (sequential
+        decode_step cannot see future prefix keys), and one dispatch instead
+        of Tc for everyone else.  Returns (logits at position Tc-1, cache)."""
+        T = x_emb.shape[1]
+        x = x_emb.astype(self.dtype) + self.pos_emb[:, :T].astype(self.dtype)
+        new_cache = []
+        for blk, c in zip(self.blocks, cache):
+            x, c = blk.prefill(x, c)
+            new_cache.append(c)
+        return self.head(self.ln_f(x))[:, -1], new_cache
+
     def embed_tokens(self, idx):
         return self.tok_emb(idx)
 
@@ -221,10 +259,20 @@ def _build_feat_embedder(module: nn.Module, cfg: Optional[Mapping[str, Any]],
             p.get("out_channels", n_embd), (p.get("kernel_size", 1),),
             padding=p.get("padding", 0), dtype=module.dtype, name=name,
         )
-    if target.endswith(("Linear", "Identity")):
+    if target.endswith("Identity"):
+        # a true pass-through (features already n_embd-dim): a learned Dense
+        # here would break parity and have no torch weights to convert
+        return _IdentityEmbedder(name=name)
+    if target.endswith("Linear"):
         return nn.Dense(p.get("out_features", n_embd), dtype=module.dtype,
                         name=name)
     raise NotImplementedError(f"embedder {target!r}")
+
+
+class _IdentityEmbedder(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        return x
 
 
 @register(
@@ -266,6 +314,9 @@ class GPTFeats(nn.Module):
     def decode_embedded(self, x_emb, cache, pos):
         return self.gpt.decode_embedded(x_emb, cache, pos)
 
+    def decode_prefix(self, x_emb, cache):
+        return self.gpt.decode_prefix(x_emb, cache)
+
     def decode_token(self, token, cache, pos):
         return self.gpt.decode_token(token, cache, pos)
 
@@ -293,6 +344,7 @@ class GPTClass(nn.Module):
 
     def embed_feats(self, cls_idx: jnp.ndarray) -> jnp.ndarray:
         """(B,) or (B, 1) class ids -> (B, 1, n_embd)."""
+        cls_idx = cls_idx.astype(jnp.int32)  # same contract as GPTFeatsClass
         if cls_idx.ndim == 1:
             cls_idx = cls_idx[:, None]
         return self.embedder(cls_idx)
@@ -306,6 +358,9 @@ class GPTClass(nn.Module):
 
     def decode_embedded(self, x_emb, cache, pos):
         return self.gpt.decode_embedded(x_emb, cache, pos)
+
+    def decode_prefix(self, x_emb, cache):
+        return self.gpt.decode_prefix(x_emb, cache)
 
     def decode_token(self, token, cache, pos):
         return self.gpt.decode_token(token, cache, pos)
@@ -363,6 +418,9 @@ class GPTFeatsClass(nn.Module):
     def decode_embedded(self, x_emb, cache, pos):
         return self.gpt.decode_embedded(x_emb, cache, pos)
 
+    def decode_prefix(self, x_emb, cache):
+        return self.gpt.decode_prefix(x_emb, cache)
+
     def decode_token(self, token, cache, pos):
         return self.gpt.decode_token(token, cache, pos)
 
@@ -389,11 +447,10 @@ def ar_sample(
     B, Tc = cond_emb.shape[:2]
     cache = model.apply(params, B, method=model.init_cache)
 
-    # prefill the conditioning prefix
-    logits = None
-    for t in range(Tc):
-        logits, cache = model.apply(params, cond_emb[:, t : t + 1], cache, t,
-                                    method=model.decode_embedded)
+    # prefill the conditioning prefix in one batched pass (training-mask
+    # semantics incl. the unmasked [:n,:n] prefix; decode_prefix docstring)
+    logits, cache = model.apply(params, cond_emb, cache,
+                                method=model.decode_prefix)
 
     key, k0 = jax.random.split(key)
     first = top_k_multinomial(k0, logits, top_k, temperature)

@@ -47,6 +47,7 @@ class Net2NetTransformer:
     ):
         self.first_stage_key = first_stage_key
         self.cond_stage_key = cond_stage_key
+        self.pkeep = float(pkeep)
         self.codec: VQModel = instantiate_from_config(
             {**first_stage_config, "params": {**(first_stage_config.get("params") or {}), "dtype": dtype}}
         )
@@ -87,11 +88,26 @@ class Net2NetTransformer:
 
     # -- training loss -------------------------------------------------------
 
-    def loss(self, params, mel: jnp.ndarray, cond_feats: jnp.ndarray):
+    def loss(self, params, mel: jnp.ndarray, cond_feats: jnp.ndarray,
+             key=None):
         """Next-token cross entropy (cond_transformer.py:68-116, 353-359):
-        targets are the full token sequence; inputs are cond + tokens[:-1]."""
+        targets are the full token sequence; inputs are cond + tokens[:-1].
+
+        ``pkeep < 1``: the reference's token-corruption regularizer — each
+        INPUT token is kept with probability pkeep, else replaced by a
+        uniform random id (cond_transformer.py forward); targets stay the
+        clean sequence. Requires ``key`` when active."""
         z = jax.lax.stop_gradient(self.encode_to_z(params, mel))
-        logits = self.gpt.apply(params["gpt"], z[:, :-1], cond_feats)
+        z_in = z[:, :-1]
+        if self.pkeep < 1.0:
+            if key is None:
+                raise ValueError("pkeep < 1 training needs a PRNG key")
+            k_mask, k_rand = jax.random.split(key)
+            keep = jax.random.bernoulli(k_mask, self.pkeep, z_in.shape)
+            rand = jax.random.randint(k_rand, z_in.shape, 0,
+                                      self.codec.n_embed)
+            z_in = jnp.where(keep, z_in, rand)
+        logits = self.gpt.apply(params["gpt"], z_in, cond_feats)
         n_cond = logits.shape[1] - (z.shape[1] - 1)
         logits = logits[:, n_cond - 1 :]  # predictions for z[0..L-1]
         loss = optax.softmax_cross_entropy_with_integer_labels(

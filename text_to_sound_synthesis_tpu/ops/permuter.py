@@ -37,6 +37,9 @@ class _IndexPermuter:
 class Identity(_IndexPermuter):
     def __init__(self, H: int = 1, W: int = 1):
         super().__init__(np.arange(H * W))
+        # keep the grid shape like the other permuters: tools (generate_ar)
+        # read permuter.H/W to recover the token grid
+        self.H, self.W = H, W
 
     def __call__(self, x, reverse: bool = False):
         return x

@@ -123,20 +123,28 @@ def main():
     if frames is None and args.duration is not None:
         frames = int(round(args.duration * SAMPLE_RATE / HOP_LENGTH))
 
-    qp = model.quantize_for_serving(params) if args.int8 else None
+    # qp as a jit ARGUMENT, never a closure capture: captured arrays are
+    # embedded as HLO constants and blow the remote-compile relay's
+    # request-size cap at flagship size (HTTP 413 — CLAUDE.md; same fix as
+    # tools/serve.py)
+    qp = jax.device_put(model.quantize_for_serving(params)) if args.int8 else None
 
     if frames is not None:
         @jax.jit
-        def run(params, key, cond_tokens):
+        def run_long(params, qp, key, cond_tokens):
             return model.generate_long(params, key, cond_tokens,
                                        duration_frames=frames,
                                        overlap_frames=args.overlap_frames,
                                        sample_type=args.sample_type, qp=qp)
+
+        run = lambda params, key, toks: run_long(params, qp, key, toks)  # noqa: E731
     elif args.int8:
         @jax.jit
-        def run(params, key, cond_tokens):
+        def run_int8(params, qp, key, cond_tokens):
             return model.generate_int8(params, qp, key, cond_tokens,
                                        sample_type=args.sample_type)
+
+        run = lambda params, key, toks: run_int8(params, qp, key, toks)  # noqa: E731
     else:
         @jax.jit
         def run(params, key, cond_tokens):

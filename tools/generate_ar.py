@@ -64,7 +64,14 @@ def run(args):
 
         vocoder = load_vocoder(args.vocoder)
 
+    # token grid: from the permuter when it carries a real shape (ColumnMajor
+    # et al.); the default Identity permuter is shapeless (H=W=1), so fall
+    # back to the codec's flagship 16x-downsampled latent (80/16, 848/16)
     hw = (model.permuter.H, model.permuter.W)
+    if hw[0] * hw[1] <= 1:
+        hw = (5, 53)
+        print(f"[generate_ar] permuter has no grid shape; assuming {hw}",
+              file=sys.stderr)
     feat_files = sorted(glob(os.path.join(args.feats_dir, "*.txt")))
     os.makedirs(args.outdir, exist_ok=True)
     key = jax.random.PRNGKey(args.seed)

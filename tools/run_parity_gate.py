@@ -101,6 +101,23 @@ def _strip(sd, prefix):
     return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
 
 
+
+_RAW_CACHE: dict = {}
+
+
+def _torch_load_cached(path):
+    """One deserialization per checkpoint per run (the flagship .pth is
+    multi-GB and three separate torch.loads cost minutes + 3x peak RAM).
+    weights_only=False: released dicts carry pickled non-tensor objects and
+    torch>=2.6 defaults the flag to True."""
+    import torch
+
+    key = os.path.abspath(path)
+    if key not in _RAW_CACHE:
+        _RAW_CACHE[key] = torch.load(key, map_location="cpu",
+                                     weights_only=False)
+    return _RAW_CACHE[key]
+
 class TorchTwins:
     """Reference torch modules at --config_file geometry, weights from the
     released file (the same file the converter consumed)."""
@@ -121,7 +138,7 @@ class TorchTwins:
             "ref_clip_model_gate",
             f"{REF}/Diffsound/sound_synthesis/modeling/modules/clip/model.py")
 
-        raw = torch.load(ckpt_path, map_location="cpu")
+        raw = _torch_load_cached(ckpt_path)
         sd = raw.get("model", raw)
         self.has_ema = "ema" in raw
 
@@ -253,9 +270,7 @@ def main(argv=None):
     # ---- 1. convert --------------------------------------------------------
     try:
         params = load_params(model, args.ckpt, args.seed)
-        import torch as _torch
-
-        has_ema = "ema" in _torch.load(args.ckpt, map_location="cpu")
+        has_ema = "ema" in _torch_load_cached(args.ckpt)
         record("convert", PASS,
                f"{os.path.basename(args.ckpt)} -> codec/cond/diffusion trees "
                f"({'EMA-preferred' if has_ema else 'no EMA section; raw model'})")

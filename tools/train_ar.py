@@ -72,8 +72,6 @@ def main():
 
     @jax.jit
     def step(gpt_params, opt_state, codec_params, mel, cond):
-        full = {"codec": codec_params, "gpt": gpt_params}
-
         def loss_fn(gp):
             loss, _ = model.loss({"codec": codec_params, "gpt": gp}, mel, cond)
             return loss

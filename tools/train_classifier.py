@@ -36,7 +36,10 @@ def main():
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--weight_decay", type=float, default=1e-4)
     p.add_argument("--epochs", type=int, default=100)
-    p.add_argument("--weighted_ce", action="store_true", default=True)
+    p.add_argument("--weighted_ce", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="inverse-frequency class weights (--no-weighted_ce "
+                        "to disable)")
     p.add_argument("--out", default="OUTPUT")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
