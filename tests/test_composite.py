@@ -51,6 +51,60 @@ def test_subsample_and_zcurve_roundtrip(rng):
         np.testing.assert_array_equal(np.asarray(p(p(x), reverse=True)), np.asarray(x))
 
 
+def test_spiral_random_alternate_roundtrip(rng):
+    for cls, hw in [
+        (P.SpiralOut, (8, 8)),
+        (P.SpiralIn, (8, 8)),
+        (P.Random, (5, 53)),
+        (P.AlternateParsing, (5, 53)),
+    ]:
+        p = cls(*hw)
+        fwd = np.asarray(p.forward_idx)
+        assert sorted(fwd.tolist()) == list(range(hw[0] * hw[1]))
+        x = jnp.asarray(rng.integers(0, 99, (2, hw[0] * hw[1])), jnp.int32)
+        np.testing.assert_array_equal(np.asarray(p(p(x), reverse=True)), np.asarray(x))
+
+
+def test_alternate_parsing_order():
+    # grid [[0,1,2],[3,4,5],[6,7,8]] -> snake [0,1,2,5,4,3,6,7,8]
+    p = P.AlternateParsing(3, 3)
+    np.testing.assert_array_equal(
+        np.asarray(p.forward_idx), [0, 1, 2, 5, 4, 3, 6, 7, 8])
+
+
+def test_spiral_out_starts_at_center():
+    # 4x4: reference walk starts at (2,1)=9, ring-1 runs are length 1/1 then 2/2
+    p = P.SpiralOut(4, 4)
+    fwd = np.asarray(p.forward_idx)
+    np.testing.assert_array_equal(fwd[:6], [9, 5, 6, 10, 14, 13])
+    # SpiralIn is exactly the reversed path (permuter.py:226)
+    np.testing.assert_array_equal(np.asarray(P.SpiralIn(4, 4).forward_idx), fwd[::-1])
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"), reason="reference not mounted")
+def test_permuter_order_parity_vs_reference():
+    """Exact order parity vs the reference's own permuters (permuter.py:117-269)."""
+    import sys
+    torch = pytest.importorskip("torch")
+    sys.path.append("/root/reference/Codebook")
+    from specvqgan.modules.transformer.permuter import (
+        SpiralOut as RSpiralOut, SpiralIn as RSpiralIn, Random as RRandom,
+        AlternateParsing as RAlt, ZCurve as RZCurve, Subsample as RSub,
+    )
+    pairs = [
+        (P.SpiralOut(8, 8), RSpiralOut(8, 8)),
+        (P.SpiralIn(8, 8), RSpiralIn(8, 8)),
+        (P.Random(5, 53), RRandom(5, 53)),
+        (P.AlternateParsing(5, 53), RAlt(5, 53)),
+        (P.ZCurve(4, 4), RZCurve(4, 4)),
+        (P.Subsample(4, 4), RSub(4, 4)),
+    ]
+    for ours, ref in pairs:
+        np.testing.assert_array_equal(
+            np.asarray(ours.forward_idx), ref.forward_shuffle_idx.numpy(),
+            err_msg=type(ours).__name__)
+
+
 def test_parse_sample_type():
     fn, skip, q = parse_sample_type("top0.85r")
     assert fn is not None and skip == 0 and q == 0.0

@@ -14,7 +14,10 @@ import jax.numpy as jnp
 
 from ..utils.config import register
 
-__all__ = ["Identity", "ColumnMajor", "Subsample", "ZCurve"]
+__all__ = [
+    "Identity", "ColumnMajor", "Subsample", "ZCurve",
+    "SpiralOut", "SpiralIn", "Random", "AlternateParsing",
+]
 
 
 class _IndexPermuter:
@@ -121,3 +124,91 @@ class ZCurve(_IndexPermuter):
     def __init__(self, H: int, W: int):
         codes = [_morton(i, j) for i in range(H) for j in range(W)]
         super().__init__(np.argsort(codes))
+
+
+def _spiral_path(size: int) -> np.ndarray:
+    """Outward spiral visit order over a ``size x size`` grid.
+
+    Matches the walk in the reference ``permuter.py:117-168`` (SpiralOut):
+    start at (size/2, size/2-1), alternate runs of decreasing-row /
+    increasing-col then increasing-row / decreasing-col with run lengths
+    1,1,2,2,3,3,... and a final (size-1)-long closing run of increasing rows.
+    Requires an even ``size`` (the reference asserts full coverage, which
+    only holds for even square grids).
+    """
+    if size < 2 or size % 2:
+        raise ValueError(f"spiral permuters need an even square grid, got {size}")
+    i, j = size // 2, size // 2 - 1
+    path = [i * size + j]
+    run = 0
+    for ring in range(1, size // 2 + 1):
+        run += 1
+        for _ in range(run):
+            i -= 1
+            path.append(i * size + j)
+        for _ in range(run):
+            j += 1
+            path.append(i * size + j)
+        run += 1
+        closing = ring == size // 2
+        for _ in range(run - 1 if closing else run):
+            i += 1
+            path.append(i * size + j)
+        if not closing:
+            for _ in range(run):
+                j -= 1
+                path.append(i * size + j)
+    assert len(path) == size * size
+    return np.asarray(path)
+
+
+@register(
+    "text_to_sound_synthesis_tpu.ops.permuter.SpiralOut",
+    "specvqgan.modules.transformer.permuter.SpiralOut",
+)
+class SpiralOut(_IndexPermuter):
+    """Center-outward spiral order (permuter.py:117-174). Square grids only."""
+
+    def __init__(self, H: int, W: int):
+        if H != W:
+            raise ValueError("SpiralOut requires a square grid (reference asserts H == W)")
+        super().__init__(_spiral_path(W))
+
+
+@register(
+    "text_to_sound_synthesis_tpu.ops.permuter.SpiralIn",
+    "specvqgan.modules.transformer.permuter.SpiralIn",
+)
+class SpiralIn(_IndexPermuter):
+    """Outside-inward spiral = SpiralOut's path reversed (permuter.py:177-235)."""
+
+    def __init__(self, H: int, W: int):
+        if H != W:
+            raise ValueError("SpiralIn requires a square grid (reference asserts H == W)")
+        super().__init__(_spiral_path(W)[::-1])
+
+
+@register(
+    "text_to_sound_synthesis_tpu.ops.permuter.Random",
+    "specvqgan.modules.transformer.permuter.Random",
+)
+class Random(_IndexPermuter):
+    """Fixed pseudo-random order, seed pinned to 1 like the reference
+    (permuter.py:238-250: ``np.random.RandomState(1).permutation(H*W)``) so
+    checkpoints trained with it reload with the same factorization order."""
+
+    def __init__(self, H: int, W: int):
+        super().__init__(np.random.RandomState(1).permutation(H * W))
+
+
+@register(
+    "text_to_sound_synthesis_tpu.ops.permuter.AlternateParsing",
+    "specvqgan.modules.transformer.permuter.AlternateParsing",
+)
+class AlternateParsing(_IndexPermuter):
+    """Boustrophedon (snake) order: odd rows reversed (permuter.py:253-269)."""
+
+    def __init__(self, H: int, W: int):
+        idx = np.arange(H * W).reshape(H, W)
+        idx[1::2] = idx[1::2, ::-1]
+        super().__init__(idx.ravel())
