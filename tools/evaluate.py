@@ -21,23 +21,39 @@ import numpy as np
 
 def parse_cli(argv):
     cfg = {
+        "config": None,
         "input1.path": None, "input2.path": None, "melception_ckpt": None,
         "stats": None, "dataset": "caps", "batch": 16, "num_classes": 309,
         "have_fid": True, "have_isc": True, "have_kid": True, "have_kl": True,
         "kid_subset_size": 1000,
     }
-    for arg in argv:
-        if "=" not in arg:
-            raise SystemExit(f"expected key=value, got {arg!r}")
-        k, v = arg.split("=", 1)
+
+    def set_key(k, v):
         if k not in cfg:
             raise SystemExit(f"unknown key {k!r}; known: {sorted(cfg)}")
         cur = cfg[k]
-        if isinstance(cur, bool):
+        if isinstance(cur, bool) and isinstance(v, str):
             v = v.lower() in ("1", "true", "yes")
-        elif isinstance(cur, int):
+        elif isinstance(cur, int) and not isinstance(cur, bool) and isinstance(v, str):
             v = int(v)
         cfg[k] = v
+
+    pairs = []
+    for arg in argv:
+        if "=" not in arg:
+            raise SystemExit(f"expected key=value, got {arg!r}")
+        pairs.append(arg.split("=", 1))
+    # a config file (eval_melception_caps.yaml-style) seeds the defaults;
+    # explicit CLI keys override it (reference: evaluate.py:27-44 CLI patching)
+    for k, v in pairs:
+        if k == "config":
+            from text_to_sound_synthesis_tpu.utils.config import load_yaml_config
+            for fk, fv in load_yaml_config(v).items():
+                if fk != "config" and fv is not None:
+                    set_key(fk, fv)
+    for k, v in pairs:
+        if k != "config":
+            set_key(k, v)
     return cfg
 
 
