@@ -268,12 +268,18 @@ def sample_tokens(
     filter_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     resample_q: float = 0.0,
     return_logits: bool = False,
+    uniform_start: bool = False,
 ):
     """Reverse diffusion as one ``lax.scan``; jit-compatible end to end.
 
     ``filter_ratio`` > 0 starts from a q_sample corruption of ``content_tokens``
     at t = filter_ratio*T - 1 (the reference ``sample``'s partial mode,
     diffusion_transformer.py:643-651); 0 starts from all-MASK.
+    ``uniform_start`` starts from uniformly random tokens instead — the
+    reference's ``sample_uniform_only`` (diffusion_transformer.py:661-744),
+    the correct x_T when the schedule has no mask mass (``uniform_only``).
+    Its randint upper bound num_classes-2 (exclusive, ``:704``) — i.e. the
+    last non-MASK class is never drawn — is reproduced as-is.
     ``filter_fn`` is the truncation filter applied to log p(x0|x_t)
     (e.g. ``partial(truncate_top_r, r=0.85)``).
     """
@@ -285,8 +291,13 @@ def sample_tokens(
 
     start_step = int(T * filter_ratio)
     if start_step == 0:
-        # all-MASK start: log one-hot concentrated on the MASK class
-        log_z = jnp.full((B, L, K), -jnp.inf, jnp.float32).at[..., -1].set(0.0)
+        if uniform_start:
+            key, k_init = jax.random.split(key)
+            x_init = jax.random.randint(k_init, (B, L), 0, K - 2)
+            log_z = dd.index_to_log_onehot(x_init, K)
+        else:
+            # all-MASK start: log one-hot concentrated on the MASK class
+            log_z = jnp.full((B, L, K), -jnp.inf, jnp.float32).at[..., -1].set(0.0)
         plan_start = T
     else:
         if content_tokens is None:
