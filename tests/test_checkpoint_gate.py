@@ -467,3 +467,82 @@ def test_metric_parity_vs_reference_code(rng):
     got = calculate_kl(l_fake, paths_fake, l_real, paths_real, "caps")
     np.testing.assert_allclose(got["kullback_leibler_divergence"],
                                want["kullback_leibler_divergence"], rtol=1e-5)
+
+
+def test_run_parity_gate_real_mode_discovery(proxy, tmp_path, rng):
+    """--real dry-verified on the proxy bundle (VERDICT r3 #7): artifacts
+    placed under one root are auto-discovered via the manifest; a missing
+    required artifact is a FAIL row and a non-zero exit, not a skip."""
+    if not _has_bpe():
+        pytest.skip("BPE artifact unavailable")
+    import shutil
+
+    import yaml
+
+    def plain(o):
+        if isinstance(o, dict):
+            return {k: plain(v) for k, v in o.items()}
+        if isinstance(o, (list, tuple)):
+            return [plain(v) for v in o]
+        return o
+
+    _, path, _ = proxy
+    cfg_path = tmp_path / "proxy.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump({"model": plain(MODEL_CFG)}, f)
+
+    root = tmp_path / "artifacts"
+    (root / "gt_mels").mkdir(parents=True)
+    # 80-bin gt mels: the tiny codec is fully convolutional so the roundtrip
+    # step still runs, and the (random-weight, SKIP-path) metrics step gets a
+    # Melception probe geometry that compiles quickly on CPU — a (4, 16)
+    # probe hangs XLA's Inception compile for tens of minutes
+    for i in range(2):
+        np.save(root / "gt_mels" / f"clip{i}_mel.npy",
+                rng.random((80, 64)).astype(np.float32))
+    shutil.copy(path, root / "diffsound_audiocaps_proxy.pth")
+    with open(root / "audiocaps_val.csv", "w") as f:
+        f.write("clip0,a dog barks\nclip1,rain falls\n")
+
+    import run_parity_gate as gate
+
+    # melception + vocoder absent -> discovery FAILs them, gate rc=1
+    out = tmp_path / "gate_real_missing"
+    rc = gate.main(["--real", str(root), "--config_file", str(cfg_path),
+                    "--outdir", str(out)])
+    assert rc == 1
+    report = (out / "PARITY_GATE.md").read_text()
+    assert "melception MISSING" in report
+    assert "vocoder MISSING" in report
+    assert "diffsound_ckpt" in report and "diffsound_audiocaps_proxy.pth" in report
+
+    # explicit overrides satisfy the missing slots -> discovery passes and the
+    # full gate runs on the discovered ckpt/csv/gt_mels
+    import orbax.checkpoint as ocp
+
+    from text_to_sound_synthesis_tpu.models.melgan import MelGANGenerator
+
+    voc = tmp_path / "voc"
+    voc.mkdir()
+    with open(voc / "args.yml", "w") as f:
+        yaml.safe_dump({"n_mel_channels": MEL_H, "ngf": 4,
+                        "n_residual_layers": 1}, f)
+    vgen = MelGANGenerator(input_size=MEL_H, ngf=4, n_residual_layers=1)
+    vparams = vgen.init(jax.random.PRNGKey(0),
+                        np.zeros((1, 10, MEL_H), np.float32))
+    ocp.PyTreeCheckpointer().save(str(voc / "melgan_params"),
+                                  jax.device_get(vparams))
+
+    out2 = tmp_path / "gate_real_overridden"
+    rc2 = gate.main(["--real", str(root), "--config_file", str(cfg_path),
+                     "--melception", "random", "--vocoder", str(voc),
+                     "--outdir", str(out2), "--replicate", "1", "--batch", "2",
+                     "--num_classes", "9", "--limit", "2"])
+    assert rc2 == 0
+    report2 = (out2 / "PARITY_GATE.md").read_text()
+    assert "artifact" in report2 and "gt_mels" in report2
+    assert "FAIL" not in report2
+    for step in ("convert", "roundtrip", "logit_parity", "generate"):
+        assert step in report2
+    # the generate step consumed the DISCOVERED csv (2 rows x replicate 1)
+    assert len(list((out2 / "samples").glob("*.npy"))) == 2

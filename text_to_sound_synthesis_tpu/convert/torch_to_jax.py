@@ -410,6 +410,44 @@ def convert_melgan_generator(
     return jax.tree_util.tree_map_with_path(one, params)
 
 
+def convert_melgan_discriminator(sd: Mapping[str, np.ndarray], params: Any,
+                                 prefix: str = "") -> Any:
+    """torch multi-scale ``Discriminator`` (vocoder/modules.py:182-199) ->
+    our MelGANDiscriminator tree. Torch layout:
+    ``model.disc_{i}.model.layer_0.1`` (Sequential: ReflectionPad, WNConv1d,
+    LeakyReLU), ``layer_k.0`` for k in 1..n_layers+1, bare ``layer_{n+2}``.
+    Weight norm is folded (plain ``.weight`` accepted too)."""
+    import jax
+
+    sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+    # per-disc layer count: highest layer_k index
+    n_top: Dict[str, int] = {}
+    for k in sd:
+        parts = k.split(".")
+        if len(parts) >= 4 and parts[0] == "model" and parts[3].startswith("layer_"):
+            n_top[parts[1]] = max(n_top.get(parts[1], 0), int(parts[3][6:]))
+
+    def one(path, leaf):
+        names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path
+                 if str(getattr(p, "key", getattr(p, "name", p))) != "params"]
+        disc, layer, kind = names[0], names[1], names[-1]
+        top = n_top[disc]
+        k = int(layer[6:])
+        sub = "" if k == top else (".1" if k == 0 else ".0")
+        tbase = f"model.{disc}.model.{layer}{sub}"
+        if kind == "kernel":
+            new = _conv1d(fold_weight_norm(sd, tbase))
+        else:
+            new = sd[tbase + ".bias"]
+        new = np.asarray(new, np.float32)
+        if new.shape != leaf.shape:
+            raise ValueError(f"melgan disc shape mismatch at {disc}/{layer}: "
+                             f"{new.shape} vs {leaf.shape}")
+        return new
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
 # -- Diffsound Stage-2 transformer ------------------------------------------
 
 def convert_diffusion(sd: Mapping[str, np.ndarray], params: Any,

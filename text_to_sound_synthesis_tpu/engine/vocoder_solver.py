@@ -88,7 +88,11 @@ def make_vocoder_train_step(
                         params=optax.apply_updates(state.d_params["params"], d_updates))
 
         # ---- generator (vs updated discriminator) --------------------------
-        real_feats = disc.apply(d_params, x_real)
+        # feature-matching targets are the PRE-update discriminator's real
+        # activations: the reference reuses its D-phase ``D_real`` tensors in
+        # the G phase after ``optD.step()`` (train.py:145,161-173), while the
+        # adversarial term runs through the just-updated D
+        real_feats = disc.apply(state.d_params, x_real)
         real_feats = jax.tree_util.tree_map(jax.lax.stop_gradient, real_feats)
 
         def g_loss_fn(g_params):

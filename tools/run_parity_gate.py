@@ -37,6 +37,16 @@ Usage (artifacts from HF Dongchao/Diffsound + SpecVQGAN releases):
 Smoke mode (no artifacts; exercises the orchestration end to end):
   python tools/run_parity_gate.py --config_file tiny.yaml --ckpt proxy.pth \
       --caption "a dog barks" --outdir /tmp/gate
+
+REAL mode — the one-command real-weight FID/KL run (VERDICT r3 #7). Drop the
+released files under one root (see ``tools/check_artifacts.py`` for the
+expected names) and run:
+  python tools/run_parity_gate.py --real artifacts/ --outdir parity_real/
+``--real`` auto-discovers ckpt/vocoder/melception/gt_mels/csv from the
+artifact manifest (``utils/artifacts.py``), verifies the pinned MD5s, and
+FAILS (rather than skipping) on anything missing — in real mode an absent
+artifact is a gate failure, not a degraded run. Explicit --ckpt/--vocoder/...
+flags still override individual discoveries.
 """
 
 import argparse
@@ -59,8 +69,11 @@ PASS, FAIL, SKIP = "PASS", "FAIL", "SKIP"
 
 def get_args(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--config_file", required=True)
-    p.add_argument("--ckpt", required=True, help="released diffsound .pth")
+    p.add_argument("--real", default=None, metavar="ROOT",
+                   help="artifact root: auto-discover released files via the "
+                        "manifest, verify MD5s, and FAIL on missing inputs")
+    p.add_argument("--config_file", default=None)
+    p.add_argument("--ckpt", default=None, help="released diffsound .pth")
     p.add_argument("--vocoder", default=None, help="MelGAN logdir")
     p.add_argument("--melception", default=None,
                    help="melception .pt (torch) or converted orbax dir; "
@@ -81,7 +94,44 @@ def get_args(argv=None):
     p.add_argument("--thresh_roundtrip", type=float, default=1e-4)
     p.add_argument("--thresh_logits", type=float, default=3e-4)
     p.add_argument("--seed", type=int, default=0)
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.real is None and (args.config_file is None or args.ckpt is None):
+        p.error("--config_file and --ckpt are required unless --real is given")
+    return args
+
+
+def _discover_real(args, record):
+    """Fill args.* from the artifact root; FAIL rows for anything missing.
+
+    Returns False when a required artifact is absent (gate cannot proceed).
+    """
+    from text_to_sound_synthesis_tpu.utils.artifacts import locate, verify
+
+    if args.config_file is None:
+        args.config_file = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "configs", "diffsound_audiocaps.yaml")
+
+    required = {"diffsound_ckpt": "ckpt", "melception": "melception",
+                "vocoder": "vocoder", "gt_mels": "gt_mels", "val_csv": "csv"}
+    ok = True
+    for status in verify(args.real, list(required)):
+        dest = required[status.name]
+        if getattr(args, dest) is not None:     # explicit flag overrides
+            record("artifact", PASS, f"{status.name}: --{dest} override "
+                                     f"{getattr(args, dest)}")
+            continue
+        if status.status == "missing":
+            record("artifact", FAIL, f"{status.name} MISSING — {status.detail}")
+            ok = False
+        elif status.status == "bad_md5":
+            record("artifact", FAIL, f"{status.name}: {status.detail}")
+            ok = False
+        else:
+            setattr(args, dest, status.path)
+            record("artifact", PASS, f"{status.name}: {status.path} "
+                                     f"({status.detail})")
+    return ok
 
 
 def _load_module_from_file(name, path):
@@ -265,6 +315,10 @@ def main(argv=None):
     from text_to_sound_synthesis_tpu.models.diffsound import build_model
     from text_to_sound_synthesis_tpu.utils.config import load_yaml_config
 
+    if args.real is not None and not _discover_real(args, record):
+        _write_report(args, rows, t_start)
+        return 1
+
     model = build_model(load_yaml_config(args.config_file))
 
     # ---- 1. convert --------------------------------------------------------
@@ -419,6 +473,15 @@ def _run_metrics(args, samples_dir, gt_paths):
 
     # melception weights: torch .pt (released), orbax dir, or 'random' smoke
     mel_model = Melception(num_classes=args.num_classes)
+    sample_paths = sorted(glob(os.path.join(samples_dir, "*.npy")))
+    for probe_path in sample_paths[:1] + gt_paths[:1]:
+        shape = np.load(probe_path).shape
+        if min(shape[-2:]) < 32:
+            # tiny proxy mels: Inception's stem cannot run (and XLA's CPU
+            # compile of the degenerate geometry takes tens of minutes —
+            # fail fast instead)
+            raise ValueError(
+                f"{probe_path}: mel {shape} below Melception's minimum geometry")
     probe = np.load(gt_paths[0]) if gt_paths else np.zeros((80, 848))
     mel_params = mel_model.init(jax.random.PRNGKey(0),
                                 jnp.zeros((1,) + probe.shape))
