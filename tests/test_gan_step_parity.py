@@ -236,6 +236,20 @@ def test_melgan_train_step_parity(rng):
     )
 
     _add_ref_paths()
+    # vocoder/modules.py imports librosa at module top for Audio2Mel (unused
+    # here); stub it — the image has no librosa (CLAUDE.md)
+    if "librosa" not in sys.modules:
+        import types
+
+        fake = types.ModuleType("librosa")
+        fake.filters = types.ModuleType("librosa.filters")
+
+        def _no_librosa(*a, **k):
+            raise RuntimeError("librosa stubbed out in tests")
+
+        fake.filters.mel = _no_librosa
+        sys.modules["librosa"] = fake
+        sys.modules["librosa.filters"] = fake.filters
     from vocoder.modules import Discriminator as TDisc
     from vocoder.modules import Generator as TGen
 
@@ -304,6 +318,14 @@ def test_melgan_train_step_parity(rng):
 
         state, m = step(state, jnp.asarray(wav_np))
 
-        assert float(m["loss_D"]) == pytest.approx(float(loss_D), rel=2e-3, abs=2e-4), i
-        assert float(m["loss_G"]) == pytest.approx(float(loss_G), rel=2e-3, abs=2e-4), i
-        assert float(m["loss_feat"]) == pytest.approx(float(loss_feat), rel=2e-3, abs=2e-4), i
+        # tolerances ~3x measured cross-framework noise (rel 1.3e-4 / abs
+        # 1.1e-3 / rel 6.9e-4 over 3 steps). loss_G needs an ABSOLUTE bound:
+        # it is -E[D(fake)] right after a first Adam step, which moves each
+        # weight by ~lr*sign(grad) — f32 noise flips near-zero-grad signs, an
+        # ~1e-3 absolute wobble on a near-zero mean. The structural bug this
+        # gate exists for (fresh- instead of stale-D feature-matching
+        # targets, train.py:145,161-173) measures at rel 8.7e-3 on loss_feat
+        # — 13x the noise floor, well outside the 3e-3 gate.
+        assert float(m["loss_D"]) == pytest.approx(float(loss_D), rel=1e-3), i
+        assert float(m["loss_G"]) == pytest.approx(float(loss_G), abs=5e-3), i
+        assert float(m["loss_feat"]) == pytest.approx(float(loss_feat), rel=3e-3), i
