@@ -143,3 +143,72 @@ def test_attn_pair_block(data):
     g = np.asarray(got, np.float32).reshape(B, Lp, D)[:, :Lp - 3]
     w = np.asarray(want, np.float32).reshape(B, Lp, D)[:, :Lp - 3]
     np.testing.assert_allclose(g, w, rtol=3e-2, atol=3e-2)
+
+
+def test_self_attn_block_rows2(data):
+    """2 batch rows per grid program == the per-row reference (r4 serving
+    default: fewer, larger programs; MHA stays per-row)."""
+    x, mod = data
+    ws = [_qw(i, D, D) for i in (3, 4, 5, 6)]
+    got = IB.self_attn_block(x, mod, *ws, batch=B, n_head=H, q_valid=Lp - 3,
+                             interpret=True, rows_per_program=2)
+    want = IB.self_attn_block_reference(x, mod, *ws, batch=B, n_head=H,
+                                        q_valid=Lp - 3)
+    g = np.asarray(got, np.float32).reshape(B, Lp, D)[:, :Lp - 3]
+    w = np.asarray(want, np.float32).reshape(B, Lp, D)[:, :Lp - 3]
+    np.testing.assert_allclose(g, w, rtol=2e-2, atol=2e-2)
+
+
+def test_self_attn_block_pair(data):
+    """Pair-packed MHA (masks folded into the K/V dequants) == reference.
+
+    Needs head_dim 64 (two heads per 128-lane group): n_head=2 at D=128.
+    Covers both dynamic and static quant scales, rows 1 and 2."""
+    x, mod = data
+    ws = [_qw(i, D, D) for i in (3, 4, 5, 6)]
+    for rows, ss in ((1, None), (2, None), (2, (0.05, 0.05))):
+        got = IB.self_attn_block(x, mod, *ws, batch=B, n_head=2,
+                                 q_valid=Lp - 3, interpret=True,
+                                 rows_per_program=rows, mha_mode="pair",
+                                 static_s=ss)
+        want = IB.self_attn_block_reference(x, mod, *ws, batch=B, n_head=2,
+                                            q_valid=Lp - 3, static_s=ss)
+        g = np.asarray(got, np.float32).reshape(B, Lp, D)[:, :Lp - 3]
+        w = np.asarray(want, np.float32).reshape(B, Lp, D)[:, :Lp - 3]
+        np.testing.assert_allclose(g, w, rtol=2e-2, atol=2e-2)
+
+
+def test_cross_attn_block_pair(data):
+    """Cross-attention pair mode (in-kernel slice masks) == reference."""
+    x, mod = data
+    ck = jax.random.normal(jax.random.PRNGKey(7), (B * Skv, D), jnp.bfloat16)
+    cv = jax.random.normal(jax.random.PRNGKey(8), (B * Skv, D), jnp.bfloat16)
+    wq, wp = _qw(9, D, D), _qw(10, D, D)
+    for rows in (1, 2):
+        got = IB.cross_attn_block(x, mod, ck, cv, wq, wp, batch=B, n_head=2,
+                                  kv_valid=Skv - 4, interpret=True,
+                                  rows_per_program=rows, mha_mode="pair")
+        want = IB.cross_attn_block_reference(x, mod, ck, cv, wq, wp, batch=B,
+                                             n_head=2, kv_valid=Skv - 4)
+        _close(got, want)
+
+
+def test_pair_mha_exact_vs_inline():
+    """The pair-packed MHA helpers == _mha_inline to f32 roundoff (the pair
+    trick is a repacking, not an approximation)."""
+    H2, hd = 4, 64
+    D2 = H2 * hd
+    L = 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (L, D2), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (L, D2), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (L, D2), jnp.float32)
+    want = IB._mha_inline(q, k, v, H2, L - 3)
+    got = IB._mha_pair(q, k, v, H2, L - 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    laneD = jnp.arange(D2)[None, :]
+    mA = ((laneD % 128) < hd).astype(jnp.float32)
+    got2 = IB._mha_pair_premasked(q, k * mA, k * (1 - mA), v * mA,
+                                  v * (1 - mA), H2, L - 3)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -326,9 +326,18 @@ def _int8_backbone_hidden(
 
         import os as _os
 
-        # T2S_MLP_IMPL=chunked: hidden-dim-chunked MLP kernel that overlaps
-        # the GELU2/quant VPU epilogue with the next chunk's MXU dot (r3 A/B)
-        mlp_impl = _os.environ.get("T2S_MLP_IMPL", "base")
+        # MLP kernel choice (r4 A/B, tools/bench_mlp_ablate.py, v5e-1 trace):
+        # with STATIC scales the hidden-dim-chunked kernel at block_m=544 runs
+        # 117.3 us/layer vs 126.1 base-b272 (-7%) — the win is all from fewer,
+        # larger row programs (skewed-issue variants == unskewed control;
+        # Mosaic schedules strictly in order, see docs/ROOFLINE.md). Chunked
+        # is numerically IDENTICAL to base when scales are static (the mid
+        # quant uses the same fixed per-tensor scale either way), so it is
+        # the static default. Dynamic keeps base-b272 (chunked was neutral
+        # there AND changes quant grouping).
+        _static_mlp = qp.act_scales is not None
+        mlp_impl = _os.environ.get("T2S_MLP_IMPL",
+                                   "chunked" if _static_mlp else "base")
         _bm_default = "544" if mlp_impl == "chunked" else "272"
         _bm_pref = int(_os.environ.get("T2S_MLP_BM", _bm_default))
         mlp_bm = max(bm for bm in (_bm_pref, 272, 128, 64, 32, 16, 8)
@@ -337,6 +346,16 @@ def _int8_backbone_hidden(
         # A/B'd on v5e-1 (CLAUDE.md round-2 ledger): split kernels 6183
         # us/step vs merged 6287 — boundaries are free, keep the split
         pair = _os.environ.get("T2S_ATTN_PAIR", "0") == "1"
+        # r4 A/B (tools/bench_attn_ablate.py, v5e-1 trace): 2 batch rows per
+        # program + pair-packed MHA with masks folded into the K/V dequants
+        # takes self_attn 105.5 -> 93.6 us/layer (rows alone 101.7, pair
+        # alone 102.3 — the levers compound). Pair needs head_dim 64
+        # (2 heads per 128-lane group); rows needs B % rows == 0.
+        from ...ops.int8_block import _pair_ok
+        _rows_d = 2 if B % 2 == 0 else 1
+        attn_rows = int(_os.environ.get("T2S_ATTN_ROWS", str(_rows_d)))
+        attn_mha = _os.environ.get(
+            "T2S_ATTN_MHA", "pair" if _pair_ok(H, D // H) else "base")
         for lyr, (ck, cv), (mod1, mod2), ls in zip(qp.layers, kv_seq, mods,
                                                    act_s):
             if pair:
@@ -348,10 +367,14 @@ def _int8_backbone_hidden(
             else:
                 x = self_attn_block(x, mod1, lyr.q, lyr.k, lyr.v, lyr.proj,
                                     batch=B, n_head=H, q_valid=L,
-                                    static_s=ls[:2])
+                                    static_s=ls[:2],
+                                    rows_per_program=attn_rows,
+                                    mha_mode=attn_mha)
                 x = cross_attn_block(x, mod2, ck, cv, lyr.crossq, lyr.crossproj,
                                      batch=B, n_head=H, kv_valid=s_valid,
-                                     static_s=ls[2:4])
+                                     static_s=ls[2:4],
+                                     rows_per_program=attn_rows,
+                                     mha_mode=attn_mha)
             if mlp_impl == "chunked":
                 x = mlp_block_chunked(x, lyr.ln2_mod, lyr.fc1, lyr.fc2,
                                       block_m=mlp_bm, n_chunks=n_chunks,

@@ -194,6 +194,87 @@ def _mha(q, k, v, n_head: int, kv_valid: int):
     return _mha_inline(q, k, v, n_head, kv_valid)
 
 
+def _pair_ok(n_head: int, hd: int) -> bool:
+    """Pair-packed MHA needs two heads per aligned 128-lane group."""
+    return n_head % 2 == 0 and 2 * hd == 128
+
+
+def _mha_pair_premasked(q, kA, kB, vA, vB, n_head: int, kv_valid: int):
+    """Pair-packed MHA with the block-diagonal masks pre-folded into the K/V
+    dequants (r4 A/B, tools/bench_attn_ablate.py `rows2_static_pairdeq`):
+    heads 2g, 2g+1 share one aligned 128-lane group; kA/vA have head-B lanes
+    zeroed and vice versa, so the pair's scores come from ONE
+    (L,128)@(2Lkv,128)^T dot (the zero lanes kill the cross-head terms) and
+    the pair's AV from ONE (L,2Lkv)@(2Lkv,128) dot — 16 MXU issues per
+    program instead of 32. Softmax runs on the lane-packed (L, 2Lkv) layout:
+    a joint row max (any finite shift is valid for exp), per-segment sums,
+    the divide folded into the (L,128) pair output. Exact softmax math —
+    oracle-tested in tests/test_int8_blocks.py."""
+    L, D = q.shape
+    Lkv = kA.shape[0]
+    hd = D // n_head
+    scale = 1.0 / math.sqrt(hd)
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * Lkv), 1)
+    pad = (col2 % Lkv) >= kv_valid
+    segA = (col2 < Lkv).astype(jnp.float32)
+    laneq = jax.lax.broadcasted_iota(jnp.int32, (L, 128), 1)
+    outs = []
+    for g in range(n_head // 2):
+        sl = slice(g * 128, (g + 1) * 128)
+        k_rhs = jnp.concatenate([kA[:, sl], kB[:, sl]], axis=0)   # (2Lkv,128)
+        s2 = jax.lax.dot_general(q[:, sl], k_rhs, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        s2 = jnp.where(pad, -jnp.inf, s2)                         # (L, 2Lkv)
+        m = jnp.max(s2, axis=-1, keepdims=True)
+        p = jnp.exp(s2 - m)
+        sumA = jnp.sum(p * segA, axis=-1, keepdims=True)
+        sumB = jnp.sum(p, axis=-1, keepdims=True) - sumA
+        v_rhs = jnp.concatenate([vA[:, sl], vB[:, sl]], axis=0)   # (2Lkv,128)
+        o = jnp.dot(p.astype(vA.dtype), v_rhs,
+                    preferred_element_type=jnp.float32)           # (L,128)
+        o = o / jnp.where(laneq < hd, sumA, sumB)
+        outs.append(o)
+    return jnp.concatenate(outs, axis=1)                          # (L, D) f32
+
+
+def _mha_pair(q, k, v, n_head: int, kv_valid: int):
+    """Pair-packed MHA with the block-diagonal masks applied in-kernel to the
+    per-pair K/V slices. Used on the cross-attention path, where Lkv (the
+    padded cond length, ~80) is small enough that the 2x(Lkv,128) mask
+    multiplies per pair are negligible and the cond K/V enter the kernel
+    pre-computed (no dequant to fold the mask into)."""
+    L, D = q.shape
+    Lkv = k.shape[0]
+    hd = D // n_head
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Lkv, 128), 1)
+    mA = (lane < hd).astype(k.dtype)
+    mB = (lane >= hd).astype(k.dtype)
+    scale = 1.0 / math.sqrt(hd)
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * Lkv), 1)
+    pad = (col2 % Lkv) >= kv_valid
+    segA = (col2 < Lkv).astype(jnp.float32)
+    laneq = jax.lax.broadcasted_iota(jnp.int32, (L, 128), 1)
+    outs = []
+    for g in range(n_head // 2):
+        sl = slice(g * 128, (g + 1) * 128)
+        Kg = k[:, sl]
+        Vg = v[:, sl]
+        k_rhs = jnp.concatenate([Kg * mA, Kg * mB], axis=0)       # (2Lkv,128)
+        s2 = jax.lax.dot_general(q[:, sl], k_rhs, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        s2 = jnp.where(pad, -jnp.inf, s2)
+        m = jnp.max(s2, axis=-1, keepdims=True)
+        p = jnp.exp(s2 - m)
+        sumA = jnp.sum(p * segA, axis=-1, keepdims=True)
+        sumB = jnp.sum(p, axis=-1, keepdims=True) - sumA
+        v_rhs = jnp.concatenate([Vg * mA, Vg * mB], axis=0)
+        o = jnp.dot(p.astype(v.dtype), v_rhs,
+                    preferred_element_type=jnp.float32)
+        o = o / jnp.where(laneq < hd, sumA, sumB)
+        outs.append(o)
+    return jnp.concatenate(outs, axis=1)
+
+
 # ---------------------------------------------------------------------------
 # self-attention block
 # ---------------------------------------------------------------------------
@@ -202,39 +283,86 @@ def _self_attn_kernel(x_ref, mod_ref,
                       wq_ref, wk_ref, wv_ref, wp_ref,
                       sq_ref, sk_ref, sv_ref, sp_ref,
                       bq_ref, bk_ref, bv_ref, bp_ref,
-                      out_ref, *, n_head: int, q_valid: int, static_s=None):
+                      out_ref, *, n_head: int, q_valid: int, static_s=None,
+                      rows: int = 1, pair: bool = False):
     s_in, s_out = static_s if static_s is not None else (None, None)
     x = x_ref[:, :].astype(jnp.float32)
     h = _prologue(x, mod_ref[0:1, :].astype(jnp.float32),
                   mod_ref[1:2, :].astype(jnp.float32), "adaln")
     qx, s = _quant(h, s_in)
-    q = _deq(_int8_dot(qx, wq_ref), s, sq_ref, bq_ref).astype(jnp.bfloat16)
-    k = _deq(_int8_dot(qx, wk_ref), s, sk_ref, bk_ref).astype(jnp.bfloat16)
-    v = _deq(_int8_dot(qx, wv_ref), s, sv_ref, bv_ref).astype(jnp.bfloat16)
-    y = _mha(q, k, v, n_head, q_valid).astype(jnp.bfloat16)
+    Lp = x_ref.shape[0] // rows
+    if pair:
+        # block-diag masks folded into the K/V dequants (mask rides the
+        # dequant's own multiply-add — no extra VPU pass over K/V)
+        D = x_ref.shape[1]
+        hd = D // n_head
+        laneD = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1)
+        mAf = ((laneD % 128) < hd).astype(jnp.float32)
+        mBf = 1.0 - mAf
+        accq = _int8_dot(qx, wq_ref)
+        acck = _int8_dot(qx, wk_ref)
+        accv = _int8_dot(qx, wv_ref)
+        q = _deq(accq, s, sq_ref, bq_ref).astype(jnp.bfloat16)
+        kA = (acck.astype(jnp.float32) * (s * (sk_ref[0:1, :] * mAf))
+              + bk_ref[0:1, :] * mAf).astype(jnp.bfloat16)
+        kB = (acck.astype(jnp.float32) * (s * (sk_ref[0:1, :] * mBf))
+              + bk_ref[0:1, :] * mBf).astype(jnp.bfloat16)
+        vA = (accv.astype(jnp.float32) * (s * (sv_ref[0:1, :] * mAf))
+              + bv_ref[0:1, :] * mAf).astype(jnp.bfloat16)
+        vB = (accv.astype(jnp.float32) * (s * (sv_ref[0:1, :] * mBf))
+              + bv_ref[0:1, :] * mBf).astype(jnp.bfloat16)
+        segs = [_mha_pair_premasked(q[r * Lp:(r + 1) * Lp],
+                                    kA[r * Lp:(r + 1) * Lp],
+                                    kB[r * Lp:(r + 1) * Lp],
+                                    vA[r * Lp:(r + 1) * Lp],
+                                    vB[r * Lp:(r + 1) * Lp],
+                                    n_head, q_valid) for r in range(rows)]
+    else:
+        q = _deq(_int8_dot(qx, wq_ref), s, sq_ref, bq_ref).astype(jnp.bfloat16)
+        k = _deq(_int8_dot(qx, wk_ref), s, sk_ref, bk_ref).astype(jnp.bfloat16)
+        v = _deq(_int8_dot(qx, wv_ref), s, sv_ref, bv_ref).astype(jnp.bfloat16)
+        segs = [_mha(q[r * Lp:(r + 1) * Lp], k[r * Lp:(r + 1) * Lp],
+                     v[r * Lp:(r + 1) * Lp], n_head, q_valid)
+                for r in range(rows)]
+    y = (segs[0] if rows == 1 else jnp.concatenate(segs, axis=0)).astype(jnp.bfloat16)
     qy, sy = _quant(y.astype(jnp.float32), s_out)
     o = _deq(_int8_dot(qy, wp_ref), sy, sp_ref, bp_ref) + x
     out_ref[:, :] = o.astype(out_ref.dtype)
 
 
 def self_attn_block(x, mod, wq, wk, wv, wproj, *, batch: int, n_head: int,
-                    q_valid: int, interpret: bool = False, static_s=None):
+                    q_valid: int, interpret: bool = False, static_s=None,
+                    rows_per_program: int = 1, mha_mode: str = "base"):
     """x (B*Lp, D) bf16 -> x + proj(MHA(adaln(x))) in one kernel.
 
     ``static_s``: optional (s_in, s_out) calibrated Python-float activation
     scales; when given, both quantize sites use static per-tensor scales
-    (no abs-max pass)."""
+    (no abs-max pass).
+
+    ``rows_per_program``: batch rows handled by one grid program. More rows
+    = fewer, larger QKVP dots and fewer program boundaries (r4 A/B: 2 rows
+    at flagship, self_attn 105.5 -> 101.7 us/layer; 4 rows exceeds the
+    compile limits). MHA stays per-row (batch isolation).
+
+    ``mha_mode``: "base" (head-grouped row-stacked softmax) or "pair"
+    (pair-packed heads, masks folded into the K/V dequants — r4 A/B: with
+    rows_per_program=2, 105.5 -> 93.6 us/layer). "pair" requires two heads
+    per 128-lane group (head_dim 64); asserted here."""
     M, D = x.shape
+    assert batch % rows_per_program == 0, (batch, rows_per_program)
+    pair = mha_mode == "pair"
+    assert not pair or _pair_ok(n_head, D // n_head), (n_head, D)
     Lp = M // batch
+    blk = Lp * rows_per_program
     vec = pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
     mat = pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    row = pl.BlockSpec((Lp, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((blk, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         partial(_self_attn_kernel, n_head=n_head, q_valid=q_valid,
-                static_s=static_s),
+                static_s=static_s, rows=rows_per_program, pair=pair),
         out_shape=jax.ShapeDtypeStruct((M, D), x.dtype),
         grid_spec=pl.GridSpec(
-            grid=(batch,),
+            grid=(batch // rows_per_program,),
             in_specs=[row,
                       pl.BlockSpec((2, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
                       mat, mat, mat, mat,
@@ -255,36 +383,55 @@ def self_attn_block(x, mod, wq, wk, wv, wproj, *, batch: int, n_head: int,
 
 def _cross_attn_kernel(x_ref, mod_ref, ck_ref, cv_ref,
                        wq_ref, wp_ref, sq_ref, sp_ref, bq_ref, bp_ref,
-                       out_ref, *, n_head: int, kv_valid: int, static_s=None):
+                       out_ref, *, n_head: int, kv_valid: int, static_s=None,
+                       rows: int = 1, pair: bool = False):
     s_in, s_out = static_s if static_s is not None else (None, None)
     x = x_ref[:, :].astype(jnp.float32)
     h = _prologue(x, mod_ref[0:1, :].astype(jnp.float32),
                   mod_ref[1:2, :].astype(jnp.float32), "adaln")
     qx, s = _quant(h, s_in)
     q = _deq(_int8_dot(qx, wq_ref), s, sq_ref, bq_ref).astype(jnp.bfloat16)
-    y = _mha(q, ck_ref[:, :], cv_ref[:, :], n_head, kv_valid)
+    Lp = x_ref.shape[0] // rows
+    Skv = ck_ref.shape[0] // rows
+    mha = _mha_pair if pair else _mha
+    segs = [mha(q[r * Lp:(r + 1) * Lp],
+                ck_ref[r * Skv:(r + 1) * Skv, :],
+                cv_ref[r * Skv:(r + 1) * Skv, :], n_head, kv_valid)
+            for r in range(rows)]
+    y = segs[0] if rows == 1 else jnp.concatenate(segs, axis=0)
     qy, sy = _quant(y.astype(jnp.bfloat16).astype(jnp.float32), s_out)
     o = _deq(_int8_dot(qy, wp_ref), sy, sp_ref, bp_ref) + x
     out_ref[:, :] = o.astype(out_ref.dtype)
 
 
 def cross_attn_block(x, mod, ck, cv, wq, wproj, *, batch: int, n_head: int,
-                     kv_valid: int, interpret: bool = False, static_s=None):
+                     kv_valid: int, interpret: bool = False, static_s=None,
+                     rows_per_program: int = 1, mha_mode: str = "base"):
     """x (B*Lp, D); ck/cv (B*Skv, D) bf16 flat cond K/V. ``static_s``:
-    optional (s_in, s_out) calibrated static activation scales."""
+    optional (s_in, s_out) calibrated static activation scales.
+
+    ``rows_per_program`` / ``mha_mode``: see ``self_attn_block``. Here
+    "pair" masks the per-pair K/V slices in-kernel (the cond K/V arrive
+    pre-computed — nothing to fold the masks into — but Lkv is the short
+    padded cond length, so the mask multiplies are negligible)."""
     M, D = x.shape
+    assert batch % rows_per_program == 0, (batch, rows_per_program)
+    pair = mha_mode == "pair"
+    assert not pair or _pair_ok(n_head, D // n_head), (n_head, D)
     Lp = M // batch
     Skv = ck.shape[0] // batch
+    blk = Lp * rows_per_program
+    kvblk = Skv * rows_per_program
     vec = pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
     mat = pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    row = pl.BlockSpec((Lp, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    kvrow = pl.BlockSpec((Skv, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((blk, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    kvrow = pl.BlockSpec((kvblk, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         partial(_cross_attn_kernel, n_head=n_head, kv_valid=kv_valid,
-                static_s=static_s),
+                static_s=static_s, rows=rows_per_program, pair=pair),
         out_shape=jax.ShapeDtypeStruct((M, D), x.dtype),
         grid_spec=pl.GridSpec(
-            grid=(batch,),
+            grid=(batch // rows_per_program,),
             in_specs=[row,
                       pl.BlockSpec((2, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
                       kvrow, kvrow,

@@ -162,6 +162,75 @@ def make_variant(name, block_m=272):
     return f
 
 
+def make_skewed(n_chunks=4, static=False, block_m=272, skew=True):
+    """Hidden-dim-chunked MLP with the NEXT chunk's fc1 dot issued BEFORE the
+    current chunk's VPU epilogue in program order (software pipelining by
+    hand). r3's `lib_chunked` kept program order [epi(c); dot2(c); dot1(c+1)]
+    — Mosaic schedules program order, so the independent dot1(c+1) was never
+    positioned where it could overlap epi(c). This variant emits
+    [dot1(c+1); epi(c); dot2(c)]: if the MXU issue is asynchronous w.r.t.
+    subsequent independent VPU ops, epi(c) hides under dot1(c+1).
+    ``skew=False`` gives the same chunk structure WITHOUT the reorder — the
+    control for attributing any delta to the reorder itself."""
+    from text_to_sound_synthesis_tpu.ops.quant import _quantize_static
+
+    def q(h, s_static):
+        return _quantize_static(h, s_static) if static else _quantize_rows(h)
+
+    def kernel(x_ref, mod_ref, w1_ref, w2_ref, s1_ref, s2_ref, b1_ref, b2_ref,
+               out_ref):
+        x = x_ref[:, :].astype(jnp.float32)
+        h = _prologue(x, mod_ref[0:1, :].astype(jnp.float32),
+                      mod_ref[1:2, :].astype(jnp.float32), "ln")
+        qx, s = q(h, 0.05)
+        ck = DH // n_chunks
+        y = x
+        acc_cur = jnp.dot(qx, w1_ref[:, 0:ck], preferred_element_type=jnp.int32)
+        for c in range(n_chunks):
+            nxt = None
+            if skew and c + 1 < n_chunks:
+                nsl = slice((c + 1) * ck, (c + 2) * ck)
+                nxt = jnp.dot(qx, w1_ref[:, nsl],
+                              preferred_element_type=jnp.int32)
+            sl = slice(c * ck, (c + 1) * ck)
+            u = acc_cur.astype(jnp.float32) * (s * s1_ref[0:1, sl]) + b1_ref[0:1, sl]
+            u = _gelu2(u)
+            qu, su = q(u, 0.05)
+            acc2 = jnp.dot(qu, w2_ref[sl, :], preferred_element_type=jnp.int32)
+            y = y + acc2.astype(jnp.float32) * (su * s2_ref[0:1, :])
+            if not skew and c + 1 < n_chunks:
+                nsl = slice((c + 1) * ck, (c + 2) * ck)
+                nxt = jnp.dot(qx, w1_ref[:, nsl],
+                              preferred_element_type=jnp.int32)
+            acc_cur = nxt
+        out_ref[:, :] = (y + b2_ref[0:1, :]).astype(out_ref.dtype)
+
+    def f(x, mod, w1, w2, s1, s2, b1, b2):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((M, D), jnp.bfloat16),
+            grid_spec=pl.GridSpec(
+                grid=(M // block_m,),
+                in_specs=[
+                    pl.BlockSpec((block_m, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((2, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((D, DH), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((DH, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, DH), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, DH), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((block_m, D), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(x, mod, w1, w2, s1, s2, b1, b2)
+
+    return f
+
+
 def main():
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -223,6 +292,14 @@ def main():
         elif n == "lib_chunked":
             timed(n, lambda x, *a: IB.mlp_block_chunked(x, mod, w1, w2,
                                                         block_m=544, n_chunks=4))
+        elif n.startswith("skew") or n.startswith("ctrl"):
+            # skew{4,8}[_static][_b544] / ctrl{4,8}[_static][_b544]
+            parts = n.split("_")
+            nch = int(parts[0].replace("skew", "").replace("ctrl", ""))
+            bm = next((int(p[1:]) for p in parts if p.startswith("b")
+                       and p[1:].isdigit()), 272)
+            timed(n, make_skewed(n_chunks=nch, static="static" in parts,
+                                 block_m=bm, skew=n.startswith("skew")))
         else:
             timed(n, make_variant(n))
 

@@ -107,6 +107,14 @@ def main():
     dt, _ = timed(ar_run, aparams, jax.random.PRNGKey(0), feats, iters=2)
     report("ar_baseline_265tok_batch8", 8.0 / dt, "clips/sec")
 
+    # AR serving scale-up (VERDICT r3 #8): KV-cached decode is M=batch
+    # matvec-bound, so throughput should grow near-linearly with batch until
+    # the MXU tile fills (M=8 pays the same per-step latency as M=64).
+    for ab in (32, 64):
+        featsb = jnp.zeros((ab, 512, 1))
+        dt, _ = timed(ar_run, aparams, jax.random.PRNGKey(0), featsb, iters=2)
+        report(f"ar_decode_265tok_batch{ab}", ab / dt, "clips/sec")
+
     # ---- 4 & 5. Diffusion samplers ----------------------------------------
     den = DiscreteDiffusion(
         transformer_config={"params": dict(
