@@ -326,18 +326,16 @@ def _int8_backbone_hidden(
 
         import os as _os
 
-        # MLP kernel choice (r4 A/B, tools/bench_mlp_ablate.py, v5e-1 trace):
-        # with STATIC scales the hidden-dim-chunked kernel at block_m=544 runs
-        # 117.3 us/layer vs 126.1 base-b272 (-7%) — the win is all from fewer,
-        # larger row programs (skewed-issue variants == unskewed control;
-        # Mosaic schedules strictly in order, see docs/ROOFLINE.md). Chunked
-        # is numerically IDENTICAL to base when scales are static (the mid
-        # quant uses the same fixed per-tensor scale either way), so it is
-        # the static default. Dynamic keeps base-b272 (chunked was neutral
-        # there AND changes quant grouping).
-        _static_mlp = qp.act_scales is not None
-        mlp_impl = _os.environ.get("T2S_MLP_IMPL",
-                                   "chunked" if _static_mlp else "base")
+        # MLP kernel choice (r4 A/B, tools/bench_mlp_ablate.py + in-context
+        # traces, v5e-1): standalone, the chunked kernel at block_m=544 wins
+        # (117.3 vs 126.1 us/layer static) — but IN CONTEXT both run at
+        # ~138-140 us/layer (base 138.2 vs chunked 139.7): the in-context
+        # cost is an invocation overhead both pay equally (the 8 MB weight
+        # stream re-fetched per call), not program-count-bound, so the
+        # simpler base-b272 stays the default. Skewed-issue software
+        # pipelining == unskewed control everywhere (Mosaic schedules
+        # strictly in order) — see docs/ROOFLINE.md round 4.
+        mlp_impl = _os.environ.get("T2S_MLP_IMPL", "base")
         _bm_default = "544" if mlp_impl == "chunked" else "272"
         _bm_pref = int(_os.environ.get("T2S_MLP_BM", _bm_default))
         mlp_bm = max(bm for bm in (_bm_pref, 272, 128, 64, 32, 16, 8)

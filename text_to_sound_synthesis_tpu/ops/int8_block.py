@@ -75,12 +75,25 @@ import os as _os
 _HEAD_GROUP = int(_os.environ.get("T2S_HEAD_GROUP", "8"))
 
 
-def _par_params():
+def _par_params(vmem_mb: int = 0):
     """Grid iterations in every kernel here are independent (row blocks /
-    batch elements) — tell Mosaic so it can pipeline across grid steps."""
+    batch elements) — tell Mosaic so it can pipeline across grid steps.
+
+    ``vmem_mb`` > 0 lifts the compiler's conservative 16 MiB scoped-vmem
+    default for THAT kernel only (v5e has 128 MiB physical): the r4
+    pair-packed attention kernel at 2 rows/program peaks at 16.27 MiB in the
+    full-sampler context (fit standalone; the while-loop context shaves the
+    margin). Raising the limit globally is NOT free — it changes Mosaic's
+    buffering decisions (r4 A/B: the chunked-b544 MLP regressed 117 -> 140
+    us/layer under a blanket 32 MiB limit), so each kernel opts in."""
+    limit = None
+    if vmem_mb:
+        limit = int(_os.environ.get("T2S_VMEM_LIMIT_MB", str(vmem_mb)))
+        limit *= 1024 * 1024
     if _os.environ.get("T2S_PAR_SEMANTICS", "1") == "0":
-        return None
-    return pltpu.CompilerParams(dimension_semantics=("parallel",))
+        return pltpu.CompilerParams(vmem_limit_bytes=limit)
+    return pltpu.CompilerParams(dimension_semantics=("parallel",),
+                                vmem_limit_bytes=limit)
 
 
 def _mha_inline_int8(q, k, v, n_head: int, kv_valid: int,
@@ -370,7 +383,7 @@ def self_attn_block(x, mod, wq, wk, wv, wproj, *, batch: int, n_head: int,
                       vec, vec, vec, vec],
             out_specs=row,
         ),
-        compiler_params=_par_params(),
+        compiler_params=_par_params(24 if (pair or rows_per_program > 1) else 0),
         interpret=interpret,
     )(x, mod, wq.w_q, wk.w_q, wv.w_q, wproj.w_q,
       wq.scale, wk.scale, wv.scale, wproj.scale,
@@ -438,7 +451,7 @@ def cross_attn_block(x, mod, ck, cv, wq, wproj, *, batch: int, n_head: int,
                       mat, mat, vec, vec, vec, vec],
             out_specs=row,
         ),
-        compiler_params=_par_params(),
+        compiler_params=_par_params(24 if (pair or rows_per_program > 1) else 0),
         interpret=interpret,
     )(x, mod, ck, cv, wq.w_q, wproj.w_q, wq.scale, wproj.scale, wq.bias, wproj.bias)
 

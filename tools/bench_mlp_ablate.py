@@ -292,6 +292,13 @@ def main():
         elif n == "lib_chunked":
             timed(n, lambda x, *a: IB.mlp_block_chunked(x, mod, w1, w2,
                                                         block_m=544, n_chunks=4))
+        elif n == "lib_chunked_static":
+            # the r4 static serving default (chunked b544) through the
+            # LIBRARY path — i.e. including _par_params' vmem_limit_bytes —
+            # vs ctrl4_static_b544 (same math, harness CompilerParams)
+            timed(n, lambda x, *a: IB.mlp_block_chunked(x, mod, w1, w2,
+                                                        block_m=544, n_chunks=4,
+                                                        static_s=(0.05, 0.05)))
         elif n.startswith("skew") or n.startswith("ctrl"):
             # skew{4,8}[_static][_b544] / ctrl{4,8}[_static][_b544]
             parts = n.split("_")
