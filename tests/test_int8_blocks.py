@@ -111,6 +111,26 @@ def test_mlp_block_chunked(data):
     _close(got, base, tol=5e-2)
 
 
+def test_mlp_block_streamed(data):
+    """Streamed-weights MLP kernel (chunk grid dim + scratch carry) == the
+    chunked oracle at the same n_chunks, both dynamic and static scales."""
+    x, mod = data
+    w1, w2 = _qw(11, D, 4 * D), _qw(12, 4 * D, D)
+    got = IB.mlp_block_streamed(x, mod, w1, w2, block_m=32, n_chunks=4,
+                                interpret=True)
+    want = IB.mlp_chunked_reference(x, mod, w1, w2, n_chunks=4)
+    _close(got, want, tol=5e-3)
+    ss = (0.05, 0.08)
+    got_s = IB.mlp_block_streamed(x, mod, w1, w2, block_m=32, n_chunks=4,
+                                  interpret=True, static_s=ss)
+    want_s = IB.mlp_chunked_reference(x, mod, w1, w2, n_chunks=4, static_s=ss)
+    _close(got_s, want_s, tol=5e-3)
+    # multiple row blocks exercise the (m, c) grid transition / scratch reuse
+    got_mb = IB.mlp_block_streamed(x, mod, w1, w2, block_m=16, n_chunks=4,
+                                   interpret=True)
+    _close(got_mb, want, tol=5e-3)
+
+
 def test_multi_dense_matches_single(data):
     """fused_quant_dense_multi's oracle path — shared quantize, many outputs."""
     from text_to_sound_synthesis_tpu.ops.quant import (

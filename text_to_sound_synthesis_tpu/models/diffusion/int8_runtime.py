@@ -321,6 +321,7 @@ def _int8_backbone_hidden(
             cross_attn_block,
             mlp_block,
             mlp_block_chunked,
+            mlp_block_streamed,
             self_attn_block,
         )
 
@@ -334,13 +335,17 @@ def _int8_backbone_hidden(
         # stream re-fetched per call), not program-count-bound, so the
         # simpler base-b272 stays the default. Skewed-issue software
         # pipelining == unskewed control everywhere (Mosaic schedules
-        # strictly in order) — see docs/ROOFLINE.md round 4.
+        # strictly in order), and the streamed-weights variant (chunk grid
+        # dim + prefetched weight blocks) is 3% WORSE in context (13.40 vs
+        # 13.80 clips/s) — see docs/ROOFLINE.md round 4.
         mlp_impl = _os.environ.get("T2S_MLP_IMPL", "base")
-        _bm_default = "544" if mlp_impl == "chunked" else "272"
+        _bm_default = ("544" if mlp_impl == "chunked"
+                       else "1088" if mlp_impl == "streamed" else "272")
         _bm_pref = int(_os.environ.get("T2S_MLP_BM", _bm_default))
         mlp_bm = max(bm for bm in (_bm_pref, 272, 128, 64, 32, 16, 8)
                      if M % bm == 0)
-        n_chunks = int(_os.environ.get("T2S_MLP_CHUNKS", "4"))
+        n_chunks = int(_os.environ.get(
+            "T2S_MLP_CHUNKS", "16" if mlp_impl == "streamed" else "4"))
         # A/B'd on v5e-1 (CLAUDE.md round-2 ledger): split kernels 6183
         # us/step vs merged 6287 — boundaries are free, keep the split
         pair = _os.environ.get("T2S_ATTN_PAIR", "0") == "1"
@@ -377,6 +382,10 @@ def _int8_backbone_hidden(
                 x = mlp_block_chunked(x, lyr.ln2_mod, lyr.fc1, lyr.fc2,
                                       block_m=mlp_bm, n_chunks=n_chunks,
                                       static_s=ls[4:6])
+            elif mlp_impl == "streamed":
+                x = mlp_block_streamed(x, lyr.ln2_mod, lyr.fc1, lyr.fc2,
+                                       block_m=mlp_bm, n_chunks=n_chunks,
+                                       static_s=ls[4:6])
             else:
                 x = mlp_block(x, lyr.ln2_mod, lyr.fc1, lyr.fc2, block_m=mlp_bm,
                               pipeline_halves=_os.environ.get("T2S_MLP_PIPE", "0") == "1",

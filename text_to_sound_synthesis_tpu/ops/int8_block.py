@@ -45,6 +45,7 @@ __all__ = [
     "attn_pair_block",
     "mlp_block",
     "mlp_block_chunked",
+    "mlp_block_streamed",
     "self_attn_block_reference",
     "cross_attn_block_reference",
     "attn_pair_block_reference",
@@ -669,6 +670,110 @@ def mlp_block_chunked(x, mod, w1, w2, *, block_m: int = 544,
                                    memory_space=pltpu.VMEM),
         ),
         compiler_params=_par_params(),
+        interpret=interpret,
+    )(x, mod, w1.w_q, w2.w_q, w1.scale, w2.scale, w1.bias, w2.bias)
+
+
+# ---------------------------------------------------------------------------
+# MLP block, streamed-weights variant (hidden-dim chunks as a GRID dimension)
+# ---------------------------------------------------------------------------
+
+def _mlp_streamed_kernel(x_ref, mod_ref, w1_ref, w2_ref, s1_ref, s2_ref,
+                         b1_ref, b2_ref, out_ref, qx_ref, sdyn_ref, acc_ref,
+                         *, static_s=None):
+    """One grid step = one hidden-dim chunk of fc1/GELU2/quant/fc2.
+
+    Why a GRID dimension instead of the in-kernel loop of
+    ``_mlp_chunked_kernel``: with the weights as whole-array VMEM blocks
+    (constant index maps), Mosaic DMAs the full 8 MB weight set BEFORE the
+    first program runs — a serial ~10 us head tax paid once per invocation,
+    which is exactly the in-context overhead the r4 trace measured (138
+    us/layer in the sampler vs 126 in the back-to-back lib A/B,
+    docs/ROOFLINE.md). Making the chunk index a grid dimension turns the
+    weight loads into per-step blocks that Mosaic double-buffers under the
+    previous chunk's dots, shrinking the serial head to one chunk (~0.5 MB).
+
+    State across chunk steps lives in scratch (persistent for the whole
+    pallas_call): the quantized input ``qx`` + its scales (computed once at
+    c==0), and the f32 accumulator carrying residual + chunk contributions.
+    Numerics: identical to ``mlp_block_chunked`` at the same ``n_chunks``
+    (per-chunk mid quant scales; exact-match oracle in
+    tests/test_int8_blocks.py).
+    """
+    s_in, s_mid = static_s if static_s is not None else (None, None)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        x = x_ref[:, :].astype(jnp.float32)
+        h = _prologue(x, mod_ref[0:1, :].astype(jnp.float32),
+                      mod_ref[1:2, :].astype(jnp.float32), "ln")
+        qx, s = _quant(h, s_in)
+        qx_ref[:, :] = qx
+        if s_in is None:
+            sdyn_ref[:, :] = s
+        acc_ref[:, :] = x  # residual folded into the accumulator
+
+    s = s_in if s_in is not None else sdyn_ref[:, :]
+    u = _deq(_int8_dot(qx_ref[:, :], w1_ref), s, s1_ref, b1_ref)
+    u = _gelu2(u)
+    qu, su = _quant(u, s_mid)
+    acc_ref[:, :] += (_int8_dot(qu, w2_ref).astype(jnp.float32)
+                      * (su * s2_ref[0:1, :]))
+
+    @pl.when(c == pl.num_programs(1) - 1)
+    def _():
+        out_ref[:, :] = (acc_ref[:, :] + b2_ref[0:1, :]).astype(out_ref.dtype)
+
+
+def mlp_block_streamed(x, mod, w1, w2, *, block_m: int = 1088,
+                       n_chunks: int = 16, interpret: bool = False,
+                       static_s=None):
+    """Streamed-weights twin of ``mlp_block_chunked`` (see kernel docstring).
+
+    Grid = (M/block_m, n_chunks) with the chunk dimension minor, so weight
+    chunk c+1 prefetches during chunk c's compute. The row dimension is
+    parallel; the chunk dimension is sequential ("arbitrary") because it
+    accumulates into scratch.
+    """
+    M, D = x.shape
+    Dh = w1.w_q.shape[1]
+    assert M % block_m == 0, (M, block_m)
+    assert Dh % n_chunks == 0, (Dh, n_chunks)
+    ck = Dh // n_chunks
+    limit = int(_os.environ.get("T2S_VMEM_LIMIT_MB", "24")) * 1024 * 1024
+    return pl.pallas_call(
+        partial(_mlp_streamed_kernel, static_s=static_s),
+        out_shape=jax.ShapeDtypeStruct((M, D), x.dtype),
+        grid=(M // block_m, n_chunks),
+        in_specs=[
+            pl.BlockSpec((block_m, D), lambda m, c: (m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, D), lambda m, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, ck), lambda m, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ck, D), lambda m, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ck), lambda m, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda m, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ck), lambda m, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda m, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, D), lambda m, c: (m, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((block_m, D), jnp.int8),      # qx
+            pltpu.VMEM((block_m, 1), jnp.float32),   # dynamic row scales
+            pltpu.VMEM((block_m, D), jnp.float32),   # f32 accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=limit),
         interpret=interpret,
     )(x, mod, w1.w_q, w2.w_q, w1.scale, w2.scale, w1.bias, w2.bias)
 

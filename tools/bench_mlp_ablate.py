@@ -299,6 +299,18 @@ def main():
             timed(n, lambda x, *a: IB.mlp_block_chunked(x, mod, w1, w2,
                                                         block_m=544, n_chunks=4,
                                                         static_s=(0.05, 0.05)))
+        elif n.startswith("streamed"):
+            # streamed[_static][_c{n_chunks}][_b{block_m}] — weight chunks as
+            # a grid dimension so Mosaic prefetches chunk c+1's weights under
+            # chunk c's dots (vs the whole-weight serial head of base/chunked)
+            parts = n.split("_")
+            nch = next((int(p[1:]) for p in parts
+                        if p.startswith("c") and p[1:].isdigit()), 16)
+            bm = next((int(p[1:]) for p in parts
+                       if p.startswith("b") and p[1:].isdigit()), 1088)
+            ss = (0.05, 0.05) if "static" in parts else None
+            timed(n, lambda x, *a, _b=bm, _c=nch, _s=ss: IB.mlp_block_streamed(
+                x, mod, w1, w2, block_m=_b, n_chunks=_c, static_s=_s))
         elif n.startswith("skew") or n.startswith("ctrl"):
             # skew{4,8}[_static][_b544] / ctrl{4,8}[_static][_b544]
             parts = n.split("_")

@@ -22,7 +22,8 @@ CHUNK3="tests/test_convert.py tests/test_reference_parity.py tests/test_melcepti
 CHUNK6="tests/test_learning.py tests/test_checkpoint_gate.py tests/test_longform.py"
 CHUNK7="tests/test_serve_cli.py tests/test_classifier_solver.py tests/test_native_loader.py \
 tests/test_int8_runtime.py"
-CHUNK4="tests/test_cli.py tests/test_int8_drift_gate.py"
+CHUNK4="tests/test_cli.py tests/test_int8_drift_gate.py tests/test_multiprocess.py \
+tests/test_gan_step_parity.py"
 CHUNK5="tests/test_vocoder_training.py tests/test_vocoder_learning.py \
 tests/test_vqgan_training.py tests/test_static_quant.py tests/test_fused_gn_conv.py \
 tests/test_parallel.py"
