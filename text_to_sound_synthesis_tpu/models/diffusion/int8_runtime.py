@@ -359,37 +359,61 @@ def _int8_backbone_hidden(
         attn_rows = int(_os.environ.get("T2S_ATTN_ROWS", str(_rows_d)))
         attn_mha = _os.environ.get(
             "T2S_ATTN_MHA", "pair" if _pair_ok(H, D // H) else "base")
-        for lyr, (ck, cv), (mod1, mod2), ls in zip(qp.layers, kv_seq, mods,
-                                                   act_s):
-            if pair:
-                x = attn_pair_block(
-                    x, jnp.concatenate([mod1, mod2], axis=0), ck, cv,
-                    lyr.q, lyr.k, lyr.v, lyr.proj, lyr.crossq, lyr.crossproj,
-                    batch=B, n_head=H, q_valid=L, kv_valid=s_valid,
-                    static_s=ls[:4])
-            else:
-                x = self_attn_block(x, mod1, lyr.q, lyr.k, lyr.v, lyr.proj,
-                                    batch=B, n_head=H, q_valid=L,
-                                    static_s=ls[:2],
-                                    rows_per_program=attn_rows,
-                                    mha_mode=attn_mha)
-                x = cross_attn_block(x, mod2, ck, cv, lyr.crossq, lyr.crossproj,
-                                     batch=B, n_head=H, kv_valid=s_valid,
-                                     static_s=ls[2:4],
-                                     rows_per_program=attn_rows,
-                                     mha_mode=attn_mha)
-            if mlp_impl == "chunked":
-                x = mlp_block_chunked(x, lyr.ln2_mod, lyr.fc1, lyr.fc2,
-                                      block_m=mlp_bm, n_chunks=n_chunks,
-                                      static_s=ls[4:6])
-            elif mlp_impl == "streamed":
-                x = mlp_block_streamed(x, lyr.ln2_mod, lyr.fc1, lyr.fc2,
-                                       block_m=mlp_bm, n_chunks=n_chunks,
-                                       static_s=ls[4:6])
-            else:
-                x = mlp_block(x, lyr.ln2_mod, lyr.fc1, lyr.fc2, block_m=mlp_bm,
-                              pipeline_halves=_os.environ.get("T2S_MLP_PIPE", "0") == "1",
-                              static_s=ls[4:6])
+        def run_blocks(x, kv_seq, B):
+            for lyr, (ck, cv), (mod1, mod2), ls in zip(qp.layers, kv_seq, mods,
+                                                       act_s):
+                if pair:
+                    x = attn_pair_block(
+                        x, jnp.concatenate([mod1, mod2], axis=0), ck, cv,
+                        lyr.q, lyr.k, lyr.v, lyr.proj, lyr.crossq, lyr.crossproj,
+                        batch=B, n_head=H, q_valid=L, kv_valid=s_valid,
+                        static_s=ls[:4])
+                else:
+                    x = self_attn_block(x, mod1, lyr.q, lyr.k, lyr.v, lyr.proj,
+                                        batch=B, n_head=H, q_valid=L,
+                                        static_s=ls[:2],
+                                        rows_per_program=attn_rows,
+                                        mha_mode=attn_mha)
+                    x = cross_attn_block(x, mod2, ck, cv, lyr.crossq, lyr.crossproj,
+                                         batch=B, n_head=H, kv_valid=s_valid,
+                                         static_s=ls[2:4],
+                                         rows_per_program=attn_rows,
+                                         mha_mode=attn_mha)
+                if mlp_impl == "chunked":
+                    x = mlp_block_chunked(x, lyr.ln2_mod, lyr.fc1, lyr.fc2,
+                                          block_m=mlp_bm, n_chunks=n_chunks,
+                                          static_s=ls[4:6])
+                elif mlp_impl == "streamed":
+                    x = mlp_block_streamed(x, lyr.ln2_mod, lyr.fc1, lyr.fc2,
+                                           block_m=mlp_bm, n_chunks=n_chunks,
+                                           static_s=ls[4:6])
+                else:
+                    x = mlp_block(x, lyr.ln2_mod, lyr.fc1, lyr.fc2, block_m=mlp_bm,
+                                  pipeline_halves=_os.environ.get("T2S_MLP_PIPE", "0") == "1",
+                                  static_s=ls[4:6])
+            return x
+
+        # PROBE (T2S_SPLIT_CALLS=k, docs/ROOFLINE.md round 4): run the whole
+        # backbone once per batch shard — identical math and identical
+        # per-program work (every grid shrinks with the batch; per-program
+        # block shapes are unchanged), but k× the pallas invocations and k×
+        # the weight-block DMA. One row-slice before the loop, one concat
+        # after. Isolates the per-invocation cost that a grid-over-layers
+        # megakernel could save.
+        split = int(_os.environ.get("T2S_SPLIT_CALLS", "1"))
+        if split == 1:
+            x = run_blocks(x, kv_seq, B)
+        else:
+            assert B % split == 0 and (B // split) % attn_rows == 0, (B, split)
+            Bs, Ms = B // split, M // split
+            Skv = kv_seq[0][0].shape[0] // B
+            parts = []
+            for i in range(split):
+                kv_i = tuple((ck[i * Bs * Skv:(i + 1) * Bs * Skv],
+                              cv[i * Bs * Skv:(i + 1) * Bs * Skv])
+                             for ck, cv in kv_seq)
+                parts.append(run_blocks(x[i * Ms:(i + 1) * Ms], kv_i, Bs))
+            x = jnp.concatenate(parts, axis=0)
     else:
         dense = _DENSE_IMPLS[impl]
         for lyr, (ck, cv), (mod1, mod2), ls in zip(qp.layers, kv_seq, mods,

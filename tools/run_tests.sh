@@ -21,7 +21,7 @@ tests/test_caption_metrics_full.py"
 CHUNK3="tests/test_convert.py tests/test_reference_parity.py tests/test_melception_full.py"
 CHUNK6="tests/test_learning.py tests/test_checkpoint_gate.py tests/test_longform.py"
 CHUNK7="tests/test_serve_cli.py tests/test_classifier_solver.py tests/test_native_loader.py \
-tests/test_int8_runtime.py"
+tests/test_int8_runtime.py tests/test_artifacts.py"
 CHUNK4="tests/test_cli.py tests/test_int8_drift_gate.py tests/test_multiprocess.py \
 tests/test_gan_step_parity.py"
 CHUNK5="tests/test_vocoder_training.py tests/test_vocoder_learning.py \
