@@ -175,3 +175,23 @@ def test_sharded_serving_8dev_mesh(setup):
     with pytest.raises(ValueError):
         sample_tokens_int8_sharded(mesh, qp, sched, jax.random.PRNGKey(3),
                                    cond8[:6], impl="xla")
+
+
+@pytest.mark.slow
+def test_split_calls_probe_bitwise_identical():
+    """TPU-gated regression for the T2S_SPLIT_CALLS probe (docs/ROOFLINE.md
+    "The invocation tax, quantified"): sharding the pallas backbone over the
+    batch must be BITWISE identical to the unsplit path — the probe's timing
+    decomposition (weight-stream bandwidth vs per-invocation overhead) is
+    only valid if the math is unchanged."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("split probe exercises the TPU pallas engine only")
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from probe_split_calls import run_check
+
+    diffs = run_check(splits=(2, 4))
+    assert all(d == 0.0 for d in diffs.values()), diffs

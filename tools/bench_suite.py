@@ -12,6 +12,7 @@ only, one JSON line. This prints one JSON line per config.)
 """
 
 import json
+import os
 import sys
 import time
 
@@ -51,6 +52,12 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
 
+    # T2S_BENCH_ONLY=e2e,loader re-runs a subset (model/engine builds still
+    # happen — they are cheap eval_shape work; only timed blocks compile).
+    only = os.environ.get("T2S_BENCH_ONLY", "")
+    sections = set(s.strip() for s in only.split(",") if s.strip())
+    want = lambda name: not sections or name in sections
+
     from text_to_sound_synthesis_tpu.models.diffusion import DiscreteDiffusion
     from text_to_sound_synthesis_tpu.models.diffusion.process import sample_tokens_fused
     from text_to_sound_synthesis_tpu.models.gpt import GPTFeats, ar_sample
@@ -82,17 +89,19 @@ def main():
         n_embed=256, embed_dim=256, dtype=jnp.bfloat16)
     mel = jnp.zeros((1, 80, 848, 1))
     cparams = zeros(jax.eval_shape(lambda: codec.init(jax.random.PRNGKey(0), mel)))
-    run, R = repeat_jit(lambda p, x: codec.apply(p, x)[0], 10)
-    dt, _ = timed(run, cparams, mel)
-    report("vqgan_roundtrip_80x848", R / dt, "clips/sec")
+    if want("vqgan"):
+        run, R = repeat_jit(lambda p, x: codec.apply(p, x)[0], 10)
+        dt, _ = timed(run, cparams, mel)
+        report("vqgan_roundtrip_80x848", R / dt, "clips/sec")
 
     # ---- 2. MelGAN vocoder -------------------------------------------------
     gen = MelGANGenerator(dtype=jnp.bfloat16)
     spec = jnp.zeros((1, 848, 80))
     gparams = zeros(jax.eval_shape(lambda: gen.init(jax.random.PRNGKey(0), spec)))
-    run, R = repeat_jit(lambda p, s: gen.apply(p, s), 20)
-    dt, _ = timed(run, gparams, spec)
-    report("melgan_vocode_10s", R / dt, "clips/sec")
+    if want("melgan"):
+        run, R = repeat_jit(lambda p, s: gen.apply(p, s), 20)
+        dt, _ = timed(run, gparams, spec)
+        report("melgan_vocode_10s", R / dt, "clips/sec")
 
     # ---- 3. AR baseline ----------------------------------------------------
     ar = GPTFeats(
@@ -105,17 +114,18 @@ def main():
     feats = jnp.zeros((8, 512, 1))
     aparams = zeros(jax.eval_shape(
         lambda: ar.init(jax.random.PRNGKey(0), jnp.zeros((8, 4), jnp.int32), feats)))
-    ar_run = jax.jit(lambda p, k, f: ar_sample(ar, p, k, f, steps=265, top_k=100))
-    dt, _ = timed(ar_run, aparams, jax.random.PRNGKey(0), feats, iters=2)
-    report("ar_baseline_265tok_batch8", 8.0 / dt, "clips/sec")
+    if want("ar"):
+        ar_run = jax.jit(lambda p, k, f: ar_sample(ar, p, k, f, steps=265, top_k=100))
+        dt, _ = timed(ar_run, aparams, jax.random.PRNGKey(0), feats, iters=2)
+        report("ar_baseline_265tok_batch8", 8.0 / dt, "clips/sec")
 
-    # AR serving scale-up (VERDICT r3 #8): KV-cached decode is M=batch
-    # matvec-bound, so throughput should grow near-linearly with batch until
-    # the MXU tile fills (M=8 pays the same per-step latency as M=64).
-    for ab in (32, 64):
-        featsb = jnp.zeros((ab, 512, 1))
-        dt, _ = timed(ar_run, aparams, jax.random.PRNGKey(0), featsb, iters=2)
-        report(f"ar_decode_265tok_batch{ab}", ab / dt, "clips/sec")
+        # AR serving scale-up (VERDICT r3 #8): KV-cached decode is M=batch
+        # matvec-bound, so throughput should grow near-linearly with batch until
+        # the MXU tile fills (M=8 pays the same per-step latency as M=64).
+        for ab in (32, 64):
+            featsb = jnp.zeros((ab, 512, 1))
+            dt, _ = timed(ar_run, aparams, jax.random.PRNGKey(0), featsb, iters=2)
+            report(f"ar_decode_265tok_batch{ab}", ab / dt, "clips/sec")
 
     # ---- 4 & 5. Diffusion samplers ----------------------------------------
     den = DiscreteDiffusion(
@@ -130,9 +140,10 @@ def main():
         jnp.zeros((1, 77, 512)), jnp.zeros((1,), jnp.int32))))
 
     cond8 = jax.random.normal(jax.random.PRNGKey(7), (8, 77, 512))
-    full = jax.jit(lambda p, k, c: sample_tokens_fused(den, p, k, c, truncation_r=0.85))
-    dt, _ = timed(full, dparams, jax.random.PRNGKey(0), cond8)
-    report("diffsound_100step_batch8", 8.0 / dt, "clips/sec")
+    if want("diffusion"):
+        full = jax.jit(lambda p, k, c: sample_tokens_fused(den, p, k, c, truncation_r=0.85))
+        dt, _ = timed(full, dparams, jax.random.PRNGKey(0), cond8)
+        report("diffsound_100step_batch8", 8.0 / dt, "clips/sec")
 
     # int8 serving engine (bench.py's headline path, sampler-only here)
     from text_to_sound_synthesis_tpu.models.diffusion.int8_runtime import (
@@ -143,40 +154,41 @@ def main():
     qp = jax.device_put(quantize_denoiser(dparams, n_head=16, seq_len=265,
                                           num_timesteps=100))
     sched = den.schedule()
-    int8 = jax.jit(lambda q, k, c: sample_tokens_int8(q, sched, k, c,
-                                                      truncation_r=0.85))
-    dt, _ = timed(int8, qp, jax.random.PRNGKey(0), cond8)
-    report("diffsound_100step_batch8_int8", 8.0 / dt, "clips/sec")
+    if want("diffusion"):
+        int8 = jax.jit(lambda q, k, c: sample_tokens_int8(q, sched, k, c,
+                                                          truncation_r=0.85))
+        dt, _ = timed(int8, qp, jax.random.PRNGKey(0), cond8)
+        report("diffsound_100step_batch8_int8", 8.0 / dt, "clips/sec")
 
-    # static-calibrated activation scales (calibrate.py): same kernels minus
-    # the dynamic abs-max VPU passes. Uniform placeholder scales — the scale
-    # VALUES don't change the instruction count, so the timing is the
-    # production static-engine timing (real deployments calibrate first).
-    qp_s = qp.replace(act_scales=((0.05,) * 6,) * 19)
-    dt, _ = timed(int8, qp_s, jax.random.PRNGKey(0), cond8)
-    report("diffsound_100step_batch8_int8_static", 8.0 / dt, "clips/sec")
+        # static-calibrated activation scales (calibrate.py): same kernels minus
+        # the dynamic abs-max VPU passes. Uniform placeholder scales — the scale
+        # VALUES don't change the instruction count, so the timing is the
+        # production static-engine timing (real deployments calibrate first).
+        qp_s = qp.replace(act_scales=((0.05,) * 6,) * 19)
+        dt, _ = timed(int8, qp_s, jax.random.PRNGKey(0), cond8)
+        report("diffsound_100step_batch8_int8_static", 8.0 / dt, "clips/sec")
 
-    cond32 = jax.random.normal(jax.random.PRNGKey(8), (32, 77, 512))
-    fast = jax.jit(lambda p, k, c: sample_tokens_fused(den, p, k, c,
-                                                       truncation_r=0.85, skip_step=3))
-    dt, _ = timed(fast, dparams, jax.random.PRNGKey(0), cond32)
-    report("diffsound_fast25step_batch32", 32.0 / dt, "clips/sec")
+        cond32 = jax.random.normal(jax.random.PRNGKey(8), (32, 77, 512))
+        fast = jax.jit(lambda p, k, c: sample_tokens_fused(den, p, k, c,
+                                                           truncation_r=0.85, skip_step=3))
+        dt, _ = timed(fast, dparams, jax.random.PRNGKey(0), cond32)
+        report("diffsound_fast25step_batch32", 32.0 / dt, "clips/sec")
 
-    # fast25 on the static int8 engine — the throughput-serving sweet spot
-    # (reference ``sample_fast`` with the r3 static-calibrated W8A8 kernels):
-    # 52.0 clips/sec measured v5e-1 vs 30.8 bf16 (+69%); 54.2 single-dispatch
-    # after the cond-K/V flatten hoist. Drift at fast25: ratio 0.4345
-    # (tools/eval_int8_drift.py --static --sample_type "top0.85r,fast3").
-    fast_i8 = jax.jit(lambda q, k, c: sample_tokens_int8(
-        q, sched, k, c, truncation_r=0.85, skip_step=3))
-    dt, _ = timed(fast_i8, qp_s, jax.random.PRNGKey(0), cond32)
-    report("diffsound_fast25step_batch32_int8_static", 32.0 / dt, "clips/sec")
+        # fast25 on the static int8 engine — the throughput-serving sweet spot
+        # (reference ``sample_fast`` with the r3 static-calibrated W8A8 kernels):
+        # 52.0 clips/sec measured v5e-1 vs 30.8 bf16 (+69%); 54.2 single-dispatch
+        # after the cond-K/V flatten hoist. Drift at fast25: ratio 0.4345
+        # (tools/eval_int8_drift.py --static --sample_type "top0.85r,fast3").
+        fast_i8 = jax.jit(lambda q, k, c: sample_tokens_int8(
+            q, sched, k, c, truncation_r=0.85, skip_step=3))
+        dt, _ = timed(fast_i8, qp_s, jax.random.PRNGKey(0), cond32)
+        report("diffsound_fast25step_batch32_int8_static", 32.0 / dt, "clips/sec")
 
-    # batch-64 scaling row: per-step device time grows sublinearly until the
-    # MXU saturates; this pins where the throughput knee sits.
-    cond64 = jax.random.normal(jax.random.PRNGKey(9), (64, 77, 512))
-    dt, _ = timed(fast_i8, qp_s, jax.random.PRNGKey(0), cond64)
-    report("diffsound_fast25step_batch64_int8_static", 64.0 / dt, "clips/sec")
+        # batch-64 scaling row: per-step device time grows sublinearly until the
+        # MXU saturates; this pins where the throughput knee sits.
+        cond64 = jax.random.normal(jax.random.PRNGKey(9), (64, 77, 512))
+        dt, _ = timed(fast_i8, qp_s, jax.random.PRNGKey(0), cond64)
+        report("diffsound_fast25step_batch64_int8_static", 64.0 / dt, "clips/sec")
 
     # ---- 7. honest end-to-end: caption text in -> 22.05 kHz wav out --------
     # the EXACT reference inference path (generate_samples_batch.py:143-186):
@@ -191,7 +203,7 @@ def main():
         )
         from text_to_sound_synthesis_tpu.models.clip.tokenize import Tokenize
 
-        tokz = Tokenize()
+        tokz = Tokenize() if want("e2e") else None
     except FileNotFoundError as e:
         print(f"skipping e2e_caption_to_wav rows: {e}", file=sys.stderr)
         tokz = None
@@ -265,7 +277,7 @@ def main():
 
     from text_to_sound_synthesis_tpu.native import load_mel_batch, native_available
 
-    if native_available():
+    if native_available() and want("loader"):
         d = tempfile.mkdtemp()
         rng_np = np.random.default_rng(0)
         paths = []

@@ -10,58 +10,83 @@ dispatch overhead.  Run this first to confirm the split path is bitwise
 identical (TPU; 2-layer flagship dims, ~1 min):
 
     python tools/probe_split_calls.py
+
+The TPU-gated regression test wrapper is
+tests/test_int8_runtime.py::test_split_calls_probe_bitwise_identical.
 """
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import numpy as np
-import jax
-import jax.numpy as jnp
 
-from text_to_sound_synthesis_tpu.models.diffusion import DiscreteDiffusion
-from text_to_sound_synthesis_tpu.models.diffusion.int8_runtime import (
-    quantize_denoiser, int8_backbone_logits,
-)
 
-denoiser = DiscreteDiffusion(
-    transformer_config={"params": dict(
-        n_layer=2, n_embd=1024, n_head=16, content_seq_len=265,
-        condition_dim=512, content_spatial_size=(5, 53),
-        block_activate="GELU2")},
-    content_emb_config={"params": dict(num_embed=256, embed_dim=1024,
-                                       spatial_size=(5, 53))},
-    diffusion_step=100, dtype=jnp.bfloat16)
+def run_check(splits=(2,), n_layer=2):
+    """Return {split: max_abs_diff_vs_unsplit}; all values must be 0."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
 
-k = jax.random.PRNGKey(0)
-tokens0 = jnp.zeros((1, 265), jnp.int32)
-cond0 = jnp.zeros((1, 77, 512), jnp.float32)
-shapes = jax.eval_shape(lambda: denoiser.init(k, tokens0, cond0, jnp.zeros((1,), jnp.int32)))
-cnt = [0]
-def mk(s):
-    cnt[0] += 1
-    return (jax.random.normal(jax.random.PRNGKey(cnt[0]), s.shape, jnp.float32) * 0.02).astype(s.dtype)
-params = jax.tree_util.tree_map(mk, shapes)
-qp = jax.device_put(quantize_denoiser(params, n_head=16, seq_len=265, num_timesteps=100))
+    from text_to_sound_synthesis_tpu.models.diffusion import DiscreteDiffusion
+    from text_to_sound_synthesis_tpu.models.diffusion.int8_runtime import (
+        int8_backbone_logits,
+        precompute_cond_kvs,
+        quantize_denoiser,
+    )
 
-B = 8
-tokens = jax.random.randint(jax.random.PRNGKey(5), (B, 265), 0, 257)
-cond = jax.random.normal(jax.random.PRNGKey(7), (B, 77, 512), jnp.float32)
-cond = cond / jnp.linalg.norm(cond, axis=-1, keepdims=True)
-t = jnp.int32(37)  # sampler path: one shared timestep per step
+    denoiser = DiscreteDiffusion(
+        transformer_config={"params": dict(
+            n_layer=n_layer, n_embd=1024, n_head=16, content_seq_len=265,
+            condition_dim=512, content_spatial_size=(5, 53),
+            block_activate="GELU2")},
+        content_emb_config={"params": dict(num_embed=256, embed_dim=1024,
+                                           spatial_size=(5, 53))},
+        diffusion_step=100, dtype=jnp.bfloat16)
 
-from text_to_sound_synthesis_tpu.models.diffusion.int8_runtime import precompute_cond_kvs
-kvs = precompute_cond_kvs(qp, cond)
+    k = jax.random.PRNGKey(0)
+    tokens0 = jnp.zeros((1, 265), jnp.int32)
+    cond0 = jnp.zeros((1, 77, 512), jnp.float32)
+    shapes = jax.eval_shape(lambda: denoiser.init(
+        k, tokens0, cond0, jnp.zeros((1,), jnp.int32)))
+    cnt = [0]
 
-def logits_with(split):
-    os.environ["T2S_SPLIT_CALLS"] = str(split)
-    fn = jax.jit(lambda qp, tokens, t, kvs: int8_backbone_logits(
-        qp, tokens, t, kvs, impl="pallas"))
-    out = fn(qp, tokens, t, kvs)
-    return np.asarray(out)
+    def mk(s):
+        cnt[0] += 1
+        return (jax.random.normal(jax.random.PRNGKey(cnt[0]), s.shape,
+                                  jnp.float32) * 0.02).astype(s.dtype)
 
-a = logits_with(1)
-b = logits_with(2)
-print("max abs diff:", np.abs(a - b).max())
-assert np.array_equal(a, b), "split backbone must be bitwise identical"
-print("OK: split==unsplit bitwise")
+    params = jax.tree_util.tree_map(mk, shapes)
+    qp = jax.device_put(quantize_denoiser(params, n_head=16, seq_len=265,
+                                          num_timesteps=100))
+
+    B = 8
+    tokens = jax.random.randint(jax.random.PRNGKey(5), (B, 265), 0, 257)
+    cond = jax.random.normal(jax.random.PRNGKey(7), (B, 77, 512), jnp.float32)
+    cond = cond / jnp.linalg.norm(cond, axis=-1, keepdims=True)
+    t = jnp.int32(37)  # sampler path: one shared timestep per step
+    kvs = precompute_cond_kvs(qp, cond)
+
+    prev = os.environ.get("T2S_SPLIT_CALLS")
+
+    def logits_with(split):
+        os.environ["T2S_SPLIT_CALLS"] = str(split)
+        fn = jax.jit(lambda qp, tokens, t, kvs: int8_backbone_logits(
+            qp, tokens, t, kvs, impl="pallas"))
+        return np.asarray(fn(qp, tokens, t, kvs))
+
+    try:
+        base = logits_with(1)
+        diffs = {s: float(np.abs(base - logits_with(s)).max()) for s in splits}
+    finally:
+        if prev is None:
+            os.environ.pop("T2S_SPLIT_CALLS", None)
+        else:
+            os.environ["T2S_SPLIT_CALLS"] = prev
+    return diffs
+
+
+if __name__ == "__main__":
+    diffs = run_check(splits=(2, 4))
+    print("max abs diff vs unsplit:", diffs)
+    assert all(d == 0.0 for d in diffs.values()), \
+        "split backbone must be bitwise identical"
+    print("OK: split==unsplit bitwise")
