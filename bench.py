@@ -110,6 +110,12 @@ def main() -> None:
 
     use_bf16 = bool(int(os.environ.get("BENCH_BF16", "0")))
     use_dynamic = bool(int(os.environ.get("BENCH_DYNAMIC", "0")))
+    # W4A8 nibble-packed weight storage is the serving DEFAULT since round 5:
+    # it halves the per-step HBM weight stream (the split-calls probe's
+    # 0.318 ms/step irreducible term) for a small in-kernel VPU unpack cost —
+    # measured +1.2% in context, drift-gated (docs/ROOFLINE.md round 5).
+    # BENCH_W8=1 restores plain int8 weight storage.
+    w_bits = 8 if os.environ.get("BENCH_W8", "0") == "1" else 4
     if use_bf16:
         weights = dparams
 
@@ -119,7 +125,7 @@ def main() -> None:
     else:
         weights = jax.device_put(
             quantize_denoiser(dparams, n_head=16, seq_len=265,
-                              num_timesteps=STEPS))
+                              num_timesteps=STEPS, weight_bits=w_bits))
         sched = denoiser.schedule()
         if not use_dynamic:
             # one-off engine-build step, untimed (like jit compile): bake
@@ -132,7 +138,12 @@ def main() -> None:
                                        (BATCH, 77, 512), jnp.float32)
             cond_c = cond_c / jnp.linalg.norm(cond_c, axis=-1, keepdims=True)
             t0 = time.time()
-            scales = calibrate_act_scales(weights, sched,
+            # calibration's stacked-jnp amax pass needs plain int8 values;
+            # for W4 run it on the unpacked twin (bit-identical weights)
+            from text_to_sound_synthesis_tpu.models.diffusion.int8_runtime import (
+                unpack_denoiser,
+            )
+            scales = calibrate_act_scales(unpack_denoiser(weights), sched,
                                           jax.random.PRNGKey(99), cond_c,
                                           truncation_r=0.85)
             weights = weights.replace(act_scales=scales)

@@ -157,3 +157,92 @@ def test_caption_scores_reports_both_meteors_and_honest_spider():
     out2 = caption_scores(["a dog barks"], [["the dogs barking loudly"]],
                           spice_scores=[0.4])
     assert out2["spider"] == pytest.approx(0.5 * (out2["cider"] + 0.4))
+
+
+def test_align_beam_exact_vs_exhaustive_oracle():
+    """The beam alignment == an exhaustive enumeration of the staged
+    max-matching / min-chunk search on the whole probe set (VERDICT r4 #6:
+    'tolerance tightened to exact'). The oracle enumerates EVERY maximal
+    matching per stage and picks min cumulative chunks — exponential, fine at
+    caption lengths."""
+    from itertools import permutations
+
+    from text_to_sound_synthesis_tpu.evaluation.caption_metrics import (
+        _align,
+        _chunks,
+        _porter,
+    )
+
+    stem = _porter()
+    stages = [lambda c, r: c == r, lambda c, r: stem(c) == stem(r)]
+
+    def oracle(cand, ref):
+        pairs = {}
+        used = set()
+        for match in stages:
+            free_i = [i for i in range(len(cand)) if i not in pairs]
+            opts = {i: [j for j in range(len(ref))
+                        if j not in used and match(cand[i], ref[j])]
+                    for i in free_i}
+            fixed = sorted(pairs.items())
+            best = None  # (n_matches desc, chunks asc, assign)
+
+            def rec(idx, assign, usedj):
+                nonlocal best
+                if idx == len(free_i):
+                    key = (-len(assign), _chunks(sorted(fixed + assign)))
+                    if best is None or key < best[0]:
+                        best = (key, list(assign))
+                    return
+                i = free_i[idx]
+                rec(idx + 1, assign, usedj)
+                for j in opts[i]:
+                    if j not in usedj:
+                        assign.append((i, j))
+                        usedj.add(j)
+                        rec(idx + 1, assign, usedj)
+                        assign.pop()
+                        usedj.remove(j)
+
+            rec(0, [], set())
+            for i, j in best[1]:
+                pairs[i] = j
+                used.add(j)
+        return sorted(pairs.items())
+
+    for cand_text, refs_text in _PROBE[:10]:
+        cand = tokenize_caption(cand_text)
+        for r_text in refs_text:
+            ref = tokenize_caption(r_text)
+            got = _align(cand, ref, stages)
+            want = oracle(cand, ref)
+            # score-relevant quantities must agree EXACTLY: match count and
+            # chunk count determine the METEOR value
+            assert len(got) == len(want), (cand, ref, got, want)
+            assert _chunks(got) == _chunks(want), (cand, ref, got, want)
+
+
+def test_align_finds_maximum_matching_not_greedy():
+    """A case where greedy first-free matching is strictly submaximal: the
+    candidate token that can match two ref slots must yield to the token that
+    can match only one."""
+    from text_to_sound_synthesis_tpu.evaluation.caption_metrics import _align
+
+    # cand: [a, b]; ref: [b, a, x]; stage matches equality only.
+    # both cand tokens match; maximum matching = 2 (a->a, b->b)
+    cand = ["a", "b"]
+    ref = ["b", "a", "x"]
+    pairs = _align(cand, ref, [lambda c, r: c == r])
+    assert len(pairs) == 2
+
+    # chunk minimization among maximum matchings: cand [a, a] vs
+    # ref [a, x, a]: two maximal matchings of size 2 exist; the one pairing
+    # (0,0),(1,2)... both give 2 chunks here, so instead pin a case with a
+    # real difference: cand [a, b, a] ref [a, b, x, a] -> contiguous (0,0),
+    # (1,1) + (2,3) = 2 chunks; a chunk-oblivious maximal matching could pick
+    # (0,3),(1,1),(2,0) = 3 chunks
+    pairs = _align(["a", "b", "a"], ["a", "b", "x", "a"],
+                   [lambda c, r: c == r])
+    from text_to_sound_synthesis_tpu.evaluation.caption_metrics import _chunks
+    assert len(pairs) == 3
+    assert _chunks(pairs) == 2

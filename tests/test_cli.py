@@ -280,3 +280,190 @@ def test_train_vqgan_cli_smoke(tmp_path, monkeypatch, rng):
                         ["train_vqgan.py", "-b", str(cfg_path), "--output", str(out),
                          "--max_steps", "4", "--auto_resume"])
     cli.main()
+
+
+def _wildcard_specs(tmp_path, rng, n_cls=2, n_per=4, mel=16, frames=40):
+    """<root>/feats/<cls>/<vid>_mel.npy wildcard layout + per-clip 8-d
+    feature txts; returns (spec_wildcard, feats_wildcard)."""
+    for c in range(n_cls):
+        fd = tmp_path / "feats" / f"cls{c}"
+        fd.mkdir(parents=True)
+        td = tmp_path / "tok" / f"cls{c}"
+        td.mkdir(parents=True)
+        for i in range(n_per):
+            np.save(fd / f"v{i}_mel.npy",
+                    rng.random((mel, frames)).astype(np.float32))
+            np.savetxt(td / f"v{i}.txt", rng.random(8).astype(np.float32))
+    return str(tmp_path / "feats" / "*"), str(tmp_path / "tok" / "*")
+
+
+TINY_AR_MODEL = {
+    "target": "text_to_sound_synthesis_tpu.models.gpt.Net2NetTransformer",
+    "base_learning_rate": 1e-4,
+    "params": {
+        "transformer_config": {"params": {
+            "feat_embedding_config": {
+                "target": "torch.nn.Conv1d",
+                "params": {"in_channels": 8, "out_channels": 16,
+                           "kernel_size": 1}},
+            "GPT_config": dict(vocab_size=10, block_size=17, n_layer=1,
+                               n_head=2, n_embd=16),
+        }},
+        "first_stage_config": {
+            "target": "text_to_sound_synthesis_tpu.models.vqgan.VQModel",
+            "params": {"embed_dim": 16, "n_embed": 10,
+                       "ddconfig": dict(double_z=False, z_channels=16,
+                                        resolution=16, in_channels=1, out_ch=1,
+                                        ch=8, ch_mult=[1, 2], num_res_blocks=1,
+                                        attn_resolutions=[8], dropout=0.0)},
+        },
+        "first_stage_permuter_config": {
+            "target": "text_to_sound_synthesis_tpu.ops.permuter.ColumnMajor",
+            "params": {"H": 2, "W": 8},
+        },
+    },
+}
+
+
+@pytest.mark.slow
+def test_train_ar_and_generate_ar_cli_smoke(tmp_path, monkeypatch, rng):
+    """AR baseline chain: train_ar (feature-conditioned GPT over the frozen
+    codec) -> generate_ar from its checkpoint (Codebook/train.py:583-823 +
+    evaluation/generate_samples_caps.py:297)."""
+    import yaml
+
+    spec_wc, tok_wc = _wildcard_specs(tmp_path, rng, mel=4, frames=40)
+    split_base = tmp_path / "split"
+    rows = [f"cls{c}/v{i}" for c in range(2) for i in range(4)]
+    with open(f"{split_base}_train.txt", "w") as f:
+        f.write("\n".join(rows) + "\n")
+
+    cfg = {
+        "model": TINY_AR_MODEL,
+        "dataloader": {"batch_size": 2, "train_datasets": [{
+            "target": "text_to_sound_synthesis_tpu.data.SpecsDataset",
+            "params": {"split": "train", "spec_dir_path": spec_wc,
+                       "split_path": f"{split_base}_train.txt",
+                       "mel_num": 4, "spec_crop_len": 16,
+                       "cls_token_dir_path": tok_wc, "feat_dim": 8}}]},
+    }
+    cfg_path = tmp_path / "ar.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    import train_ar as cli
+
+    out = tmp_path / "out"
+    monkeypatch.setattr(sys, "argv",
+                        ["train_ar.py", "-b", str(cfg_path), "--output", str(out),
+                         "--max_steps", "2"])
+    cli.main()
+    ckpt = out / "ar_gpt" / "checkpoint" / "last"
+    assert ckpt.is_dir()
+
+    import generate_ar as gen_cli
+
+    feats_dir = tmp_path / "tok" / "cls0"
+    outdir = tmp_path / "samples_ar"
+    monkeypatch.setattr(sys, "argv",
+                        ["generate_ar.py", "--config", str(cfg_path),
+                         "--ckpt", str(ckpt), "--feats_dir", str(feats_dir),
+                         "--outdir", str(outdir), "--samples_per_video", "1",
+                         "--top_k", "3", "--batch", "4"])
+    gen_cli.main()
+    files = sorted(os.listdir(outdir))
+    assert files == [f"v{i}_sample_0.npy" for i in range(4)]
+    spec = np.load(outdir / files[0])
+    assert spec.shape == (4, 16)
+    assert np.isfinite(spec).all()
+
+
+@pytest.mark.slow
+def test_train_vocoder_cli_smoke(tmp_path, monkeypatch, rng):
+    """MelGAN trainer CLI (vocoder/scripts/train.py parity): hinge+FM steps on
+    wav crops, best-by-mel-reconstruction checkpoint written."""
+    from text_to_sound_synthesis_tpu.utils.io import write_wav
+
+    data = tmp_path / "wavs"
+    data.mkdir()
+    names = []
+    for i in range(4):
+        y = rng.standard_normal(6000).astype(np.float32) * 0.1
+        write_wav(str(data / f"w{i}.wav"), 22050, y)
+        names.append(f"w{i}.wav")
+    (data / "train_files.txt").write_text("\n".join(names) + "\n")
+
+    import train_vocoder as cli
+
+    out = tmp_path / "voc"
+    monkeypatch.setattr(sys, "argv", [
+        "train_vocoder.py", "--save_path", str(out), "--data_path", str(data),
+        "--n_mel_channels", "80", "--ngf", "4", "--n_residual_layers", "1",
+        "--ndf", "4", "--num_D", "2", "--n_layers_D", "2",
+        "--batch_size", "2", "--seq_len", "2048", "--epochs", "1",
+        "--log_interval", "1", "--save_interval", "1"])
+    cli.main()
+    run_dir = out / "melgan"
+    assert (run_dir / "checkpoint" / "netG").is_dir()
+    assert (run_dir / "melgan_params").is_dir()  # best-netG analogue
+    assert (run_dir / "args.yml").exists()
+
+
+@pytest.mark.slow
+def test_train_classifier_cli_smoke(tmp_path, monkeypatch, rng):
+    """VGGishish trainer CLI (Codebook/.../vggishish/train_vggishish.py):
+    weighted-CE steps + val metrics + best/last checkpoints."""
+    spec_wc, _ = _wildcard_specs(tmp_path, rng, mel=16, frames=40)
+
+    import train_classifier as cli
+
+    out = tmp_path / "out"
+    monkeypatch.setattr(sys, "argv", [
+        "train_classifier.py", "--arch", "vggishish", "--spec_dir", spec_wc,
+        "--num_classes", "2", "--mel_num", "16", "--crop_len", "24",
+        "--batch_size", "2", "--epochs", "1", "--conv_layers", "8,MP,16",
+        "--out", str(out)])
+    cli.main()
+    assert (out / "vggishish" / "checkpoint" / "last").is_dir()
+    assert (out / "vggishish" / "checkpoint" / "best").is_dir()
+
+
+@pytest.mark.slow
+def test_vis_codebook_cli_smoke(tmp_path, monkeypatch, rng, capsys):
+    """Codebook visualizer CLI (Codebook/vis_codebook.py:17-60): wav ->
+    token grid + bitrate + reconstruction written."""
+    import jax
+    import orbax.checkpoint as ocp
+    import yaml
+
+    from text_to_sound_synthesis_tpu.models.vqgan import VQModel
+    from text_to_sound_synthesis_tpu.utils.io import write_wav
+
+    # the tool derives the codec from the full diffsound config's
+    # content_codec_config; reuse the tiny composite config
+    from tests.test_composite import TINY_MODEL_CFG
+    cfg_path = tmp_path / "tiny.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump({"model": _plain(TINY_MODEL_CFG)}, f)
+
+    ccfg = TINY_MODEL_CFG["params"]["content_codec_config"]["params"]
+    codec = VQModel(ddconfig=ccfg["ddconfig"], n_embed=ccfg["n_embed"],
+                    embed_dim=ccfg["embed_dim"])
+    params = codec.init(jax.random.PRNGKey(0), np.zeros((1, 80, 16, 1)))
+    ckpt = tmp_path / "vq_params"
+    ocp.PyTreeCheckpointer().save(str(ckpt), jax.device_get(params))
+
+    wav = tmp_path / "clip.wav"
+    write_wav(str(wav), 22050, rng.standard_normal(22050).astype(np.float32) * 0.1)
+
+    import vis_codebook as cli
+
+    outdir = tmp_path / "vis"
+    monkeypatch.setattr(sys, "argv", [
+        "vis_codebook.py", "--wav", str(wav), "--config", str(cfg_path),
+        "--ckpt", str(ckpt), "--outdir", str(outdir)])
+    capsys.readouterr()
+    cli.main()
+    out = capsys.readouterr().out
+    assert "bitrate" in out.lower()
+    assert os.path.isdir(outdir)

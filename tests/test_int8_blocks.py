@@ -232,3 +232,61 @@ def test_pair_mha_exact_vs_inline():
                                   v * (1 - mA), H2, L - 3)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# W4A8 (nibble-packed int4 weight storage, VERDICT r4 #1 / round 5)
+# ---------------------------------------------------------------------------
+
+def _qw4_pair(key, K, N, s=0.05):
+    """(packed-W4, unpacked-int8-twin) of the same weight."""
+    from text_to_sound_synthesis_tpu.ops.quant import (
+        quantize_weight_w4, unpack_weight_w4)
+    w = jax.random.normal(jax.random.PRNGKey(key), (K, N), jnp.float32) * s
+    b = jax.random.normal(jax.random.PRNGKey(key + 100), (N,), jnp.float32) * 0.05
+    p = quantize_weight_w4(w, b)
+    return p, unpack_weight_w4(p)
+
+
+def test_w4_unpack_helper_matches_jnp_twin():
+    """The in-kernel _unpack_w4 == the jnp unpack (sign extension incl. -7)."""
+    p, u = _qw4_pair(40, D, D)
+    lo, hi = IB._unpack_w4(p.w_q)
+    full = np.concatenate([np.asarray(lo), np.asarray(hi)], axis=0)
+    np.testing.assert_array_equal(full, np.asarray(u.w_q))
+
+
+def test_self_attn_block_w4_bitexact_vs_unpacked(data):
+    """W4 kernel (in-VMEM unpack + two half-K int32 dots) is BIT-EXACT vs the
+    int8 kernel on the unpacked twin: int32 accumulation makes the split dot
+    exact, so W4 changes only weight STORAGE, never the math."""
+    x, mod = data
+    packed, unpacked = zip(*[_qw4_pair(i, D, D) for i in (41, 42, 43, 44)])
+    got = IB.self_attn_block(x, mod, *packed, batch=B, n_head=H,
+                             q_valid=Lp - 3, interpret=True, w4=True)
+    want = IB.self_attn_block(x, mod, *unpacked, batch=B, n_head=H,
+                              q_valid=Lp - 3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_cross_attn_block_w4_bitexact_vs_unpacked(data):
+    x, mod = data
+    ck = jax.random.normal(jax.random.PRNGKey(7), (B * Skv, D), jnp.bfloat16)
+    cv = jax.random.normal(jax.random.PRNGKey(8), (B * Skv, D), jnp.bfloat16)
+    (pq, uq), (pp, up) = _qw4_pair(45, D, D), _qw4_pair(46, D, D)
+    got = IB.cross_attn_block(x, mod, ck, cv, pq, pp, batch=B, n_head=H,
+                              kv_valid=Skv - 4, interpret=True, w4=True)
+    want = IB.cross_attn_block(x, mod, ck, cv, uq, up, batch=B, n_head=H,
+                               kv_valid=Skv - 4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_mlp_block_w4_bitexact_vs_unpacked(data):
+    x, mod = data
+    (p1, u1), (p2, u2) = _qw4_pair(47, D, 4 * D), _qw4_pair(48, 4 * D, D)
+    for ss in (None, (0.05, 0.08)):
+        got = IB.mlp_block(x, mod, p1, p2, block_m=32, interpret=True,
+                           w4=True, static_s=ss)
+        want = IB.mlp_block(x, mod, u1, u2, block_m=32, interpret=True,
+                            static_s=ss)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -193,11 +193,63 @@ def test_split_calls_probe_bitwise_identical():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
     from probe_split_calls import run_check
 
-    diffs = run_check(splits=(2, 4))
+    diffs, ulp = run_check(splits=(2, 4))
     # split=2 is bitwise identical; split=4 (2 batch rows per call) was
-    # measured at exactly one bf16 ULP (2^-12) — at that batch the tiny
-    # per-kernel grids lead Mosaic to a different (valid) layout/rounding
-    # choice somewhere in the chain. Gate at the measured value: any real
+    # measured at exactly one bf16 ULP — at that batch the tiny per-kernel
+    # grids lead Mosaic to a different (valid) layout/rounding choice
+    # somewhere in the chain. Gate RELATIVE to the logit magnitude (one bf16
+    # ULP of max|logit|, 2^(exp-7)) so a still-one-ULP difference never
+    # flakes if init scale or layer count shifts the magnitudes; any real
     # math change trips this immediately.
     assert diffs[2] == 0.0, diffs
-    assert diffs[4] <= 2.0 ** -12, diffs
+    assert diffs[4] <= ulp, (diffs, ulp)
+
+
+def test_w4_engine_tracks_fp_and_samples(setup):
+    """W4A8 engine (weight_bits=4): the jnp/xla paths consume the packed
+    engine through the bit-identical unpack twin — logits still track the fp
+    forward (coarser int4 weight grid => looser bound than int8), and the
+    sampler stays deterministic and valid."""
+    from text_to_sound_synthesis_tpu.models.diffusion.int8_runtime import (
+        unpack_denoiser,
+    )
+
+    model, params, qp8, tokens, cond = setup
+    qp4 = quantize_denoiser(params, n_head=HEADS, seq_len=L, num_timesteps=T,
+                            weight_bits=4)
+    assert qp4.weight_bits == 4
+    # packed storage is half the int8 engine's weight bytes
+    assert qp4.layers[0].fc1.w_q.shape[0] == qp8.layers[0].fc1.w_q.shape[0] // 2
+
+    tvec = jnp.full((2,), 3, jnp.int32)
+    want = model.apply(params, tokens, cond, tvec, method=model.backbone_logits)
+    kvs = precompute_cond_kvs(qp4, cond)
+    got = int8_backbone_logits(qp4, tokens, jnp.int32(3), kvs)
+    w = np.asarray(want, np.float64).ravel()
+    g = np.asarray(got, np.float64).ravel()
+    rel = np.linalg.norm(g - w) / (np.linalg.norm(w) + 1e-9)
+    corr = np.corrcoef(w, g)[0, 1]
+    # measured rel ~0.21 on this tiny random 2-layer engine — ~12x the int8
+    # engine's 0.017, tracking the 127/7 ≈ 18x coarser int4 weight grid.
+    # Threshold at ~2x measured (same policy as the int8 gate above); the
+    # production accuracy gate is the flagship drift protocol
+    # (tools/eval_int8_drift.py --w4 vs the reseeding floor).
+    assert rel < 0.4, rel
+    assert corr > 0.95, corr
+
+    # unpack_denoiser is the identity on int8 engines and produces a plain
+    # int8 engine from W4 (the non-pallas impls rely on this)
+    assert unpack_denoiser(qp8) is qp8
+    u = unpack_denoiser(qp4)
+    assert u.weight_bits == 8
+    assert u.layers[0].fc1.w_q.shape == qp8.layers[0].fc1.w_q.shape
+
+    sched = model.schedule()
+    toks1 = sample_tokens_int8(qp4, sched, jax.random.PRNGKey(5), cond,
+                               truncation_r=0.85)
+    toks2 = sample_tokens_int8(qp4, sched, jax.random.PRNGKey(5), cond,
+                               truncation_r=0.85)
+    a = np.asarray(toks1)
+    assert a.shape == (2, L)
+    assert (a >= 0).all() and (a < NUM_EMBED + 1).all() and (a != NUM_EMBED).all()
+    np.testing.assert_array_equal(a, np.asarray(toks2))

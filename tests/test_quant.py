@@ -22,6 +22,33 @@ def test_quantize_weight_roundtrip():
     assert err <= (amax.max() / 127.0) * 0.51 + 1e-8  # half-ulp of the grid
 
 
+def test_quantize_weight_w4_pack_unpack_exact():
+    """Nibble pack -> unpack is lossless over the full int4 grid [-7, 7]."""
+    w = _rand(1, (64, 256), 0.05)
+    b = _rand(2, (256,), 0.05)
+    p = quant.quantize_weight_w4(w, b)
+    assert p.w_q.shape == (32, 256) and p.w_q.dtype == jnp.int8
+    u = quant.unpack_weight_w4(p)
+    # direct (unpacked) int4 quantization as the oracle
+    wf = np.asarray(w, np.float32)
+    scale = np.maximum(np.abs(wf).max(axis=0, keepdims=True), 1e-8) / 7.0
+    w4 = np.clip(np.round(wf / scale), -7, 7).astype(np.int8)
+    np.testing.assert_array_equal(np.asarray(u.w_q), w4)
+    np.testing.assert_allclose(np.asarray(u.scale), scale, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(u.bias).ravel(), np.asarray(b))
+    # values cover the grid edges (otherwise the sign-extension test is weak)
+    assert w4.min() == -7 and w4.max() == 7
+
+
+def test_quantize_weight_w4_dequant_error_bound():
+    w = _rand(3, (64, 256), 0.05)
+    u = quant.unpack_weight_w4(quant.quantize_weight_w4(w))
+    deq = u.w_q.astype(jnp.float32) * u.scale
+    err = np.abs(np.asarray(deq - w)).max()
+    amax = np.abs(np.asarray(w)).max()
+    assert err <= (amax / 7.0) * 0.51 + 1e-8  # half-ulp of the int4 grid
+
+
 @pytest.mark.parametrize("norm,act,use_res", [
     ("none", "none", False),
     ("adaln", "none", False),

@@ -15,11 +15,12 @@ definitions:
   it falls back to a vendored compact synonym table curated for the
   audio-caption domain (``evaluation/synonyms.py``; override with
   $T2S_SYNONYMS; pass ``synonyms="none"`` to disable the stage). Alignment
-  is greedy with a contiguity preference (the Java jar
-  beam-searches the minimum-chunk alignment among maximal matchings; deltas
-  from that are small, quantified in tests/test_caption_metrics_full.py).
+  is the jar's search: per stage, a MAXIMUM matching with the minimum-chunk
+  alignment among maximum matchings (beam-searched, exact at caption
+  lengths — pinned vs an exhaustive oracle in
+  tests/test_caption_metrics_full.py).
   Corpus score = mean of segment scores (the jar aggregates match statistics
-  before scoring; also a small delta). Parameters are coco-caption's
+  before scoring; a small documented delta). Parameters are coco-caption's
   (alpha=0.9, beta=3, gamma=0.5).
 * METEOR-lite: the round-1 exact-match-only variant, kept for continuity and
   reported as ``meteor_lite``. On a morphology-heavy 40-pair audio-caption
@@ -249,29 +250,47 @@ def _wordnet_synsets():
         return synonym_lookup
 
 
-def _align(cand: Sequence[str], ref: Sequence[str], stages) -> List[tuple]:
-    """Stage-wise unigram alignment: each stage is ``match(ci, rj) -> bool``.
-    Greedy with a contiguity preference: a candidate token first tries the ref
-    slot right after the previous match (minimizing chunks), then the first
-    free match. Returns [(cand_idx, ref_idx)] sorted by cand_idx."""
+def _align(cand: Sequence[str], ref: Sequence[str], stages,
+           beam: int = 256) -> List[tuple]:
+    """Stage-wise unigram alignment, faithful to the METEOR search (the Java
+    jar's semantics, ``AudiocaptionLoss/eval_metrics.py:243-249`` toolchain):
+    each stage is ``match(ci, rj) -> bool``; within a stage the aligner takes
+    a MAXIMUM matching over still-unaligned tokens, and among maximum
+    matchings picks the one minimizing the chunk count of the cumulative
+    alignment. The search is a beam over candidate tokens — exact at caption
+    lengths (pinned against an exhaustive oracle in
+    tests/test_caption_metrics_full.py). Returns [(cand_idx, ref_idx)]
+    sorted by cand_idx."""
     pairs: Dict[int, int] = {}
-    used = [False] * len(ref)
+    used: set = set()
     for match in stages:
-        prev_j = -2
-        for i, ct in enumerate(cand):
-            if i in pairs:
-                prev_j = pairs[i]
+        free_i = [i for i in range(len(cand)) if i not in pairs]
+        opts = {i: [j for j in range(len(ref))
+                    if j not in used and match(cand[i], ref[j])]
+                for i in free_i}
+        fixed = sorted(pairs.items())
+
+        def score(assign):
+            # maximize matches, then minimize chunks of the cumulative pairing
+            return (-len(assign), _chunks(sorted(fixed + list(assign))))
+
+        # beam over candidate tokens in order; state = (assign, used_j)
+        states = [((), frozenset())]
+        for i in free_i:
+            if not opts[i]:
                 continue
-            jn = prev_j + 1
-            if 0 <= jn < len(ref) and not used[jn] and match(ct, ref[jn]):
-                j_hit = jn
-            else:
-                j_hit = next((j for j, rt in enumerate(ref)
-                              if not used[j] and match(ct, rt)), None)
-            if j_hit is not None:
-                pairs[i] = j_hit
-                used[j_hit] = True
-                prev_j = j_hit
+            nxt = []
+            for assign, usedj in states:
+                nxt.append((assign, usedj))  # leave token i unmatched
+                for j in opts[i]:
+                    if j not in usedj:
+                        nxt.append((assign + ((i, j),), usedj | {j}))
+            nxt.sort(key=lambda st: score(st[0]))
+            states = nxt[:beam]
+        best = min((st[0] for st in states), key=score)
+        for i, j in best:
+            pairs[i] = j
+            used.add(j)
     return sorted(pairs.items())
 
 

@@ -161,6 +161,12 @@ def calculate_kl(
         samples = grouped_1.get(key, [])
         feats_1.extend(samples)
         feats_2.extend([feat2] * len(samples))
+    if not feats_1:
+        raise ValueError(
+            "KL grouping found no overlapping clip keys between the generated "
+            "and ground-truth sets — generated files must be named "
+            "<clip>_sample_<i>.npy with <clip> matching the ground-truth "
+            "<clip>_mel.npy names (generate from the val csv)")
     f1 = _softmax(np.stack(feats_1), axis=1)
     f2 = _softmax(np.stack(feats_2), axis=1)
     # torch F.kl_div(log(q), p, 'sum') == sum p * (log p - log q)

@@ -85,6 +85,12 @@ class Diffsound:
         self.codec: VQModel = instantiate_from_config(
             {**content_codec_config, "params": {**(content_codec_config.get("params") or {}), "dtype": dtype}}
         )
+        # trained stage-1 weights for the frozen codec (dalle_spec.py:45-49
+        # loads the codebook ckpt named in the config): orbax tree from
+        # tools/train_vqgan.py (or a converted torch .ckpt) applied in
+        # init_params. Empty/missing -> random init (bring-up mode).
+        self.codec_ckpt_path = (content_codec_config.get("params") or {}).get(
+            "ckpt_path")
         self.text_codec: Tokenize = instantiate_from_config(condition_codec_config)
 
         dcfg = dict(diffusion_config.get("params") or {})
@@ -123,7 +129,34 @@ class Diffsound:
         diff_params = self.diffusion.init(
             k3, jnp.zeros((1, L), jnp.int32), jnp.zeros((1, ctx, cond_dim)), jnp.zeros((1,), jnp.int32)
         )
+        if self.codec_ckpt_path:
+            codec_params = self._load_codec_params(codec_params)
         return {"codec": codec_params, "cond": cond_params, "diffusion": diff_params}
+
+    def _load_codec_params(self, template):
+        """Replace the random codec init with the trained stage-1 weights at
+        ``content_codec_config.params.ckpt_path``: a torch .ckpt (converted),
+        a tools/train_vqgan.py checkpoint dir ({'state': VQGANTrainState}),
+        or a bare orbax VQModel param tree."""
+        path = self.codec_ckpt_path
+        if str(path).endswith((".ckpt", ".pth", ".pt")):
+            from ..convert.torch_to_jax import convert_vqgan, load_torch_state_dict
+
+            return convert_vqgan(load_torch_state_dict(path), template)
+        import os as _os
+
+        import orbax.checkpoint as ocp
+
+        raw = ocp.PyTreeCheckpointer().restore(_os.path.abspath(path))
+        if isinstance(raw, dict) and "state" in raw and isinstance(
+                raw["state"], dict) and "ae_params" in raw["state"]:
+            raw = raw["state"]["ae_params"]   # train_vqgan 'last' layout
+        if not (isinstance(raw, dict) and "params" in raw):
+            raise ValueError(
+                f"unrecognized codec checkpoint layout at {path!r}")
+        # structural check against the template, then adopt the trained tree
+        jax.tree_util.tree_map(lambda a, b: None, template, raw)
+        return jax.tree_util.tree_map(jnp.asarray, raw)
 
     # -- tokenization paths (prepare_input equivalents) ----------------------
 
@@ -213,11 +246,14 @@ class Diffsound:
 
     # -- int8 serving mode ----------------------------------------------------
 
-    def quantize_for_serving(self, params):
-        """Denoiser params -> W8A8 int8 engine (models/diffusion/int8_runtime).
+    def quantize_for_serving(self, params, *, weight_bits: int = 8):
+        """Denoiser params -> int8 serving engine (models/diffusion/int8_runtime).
 
-        One-time cost; the returned engine is a pytree usable under jit. The
-        codec/cond trees are unchanged (they are a tiny share of the FLOPs).
+        ``weight_bits=4`` stores the dense weights nibble-packed (W4A8) —
+        halves the per-step HBM weight stream, measured faster in context on
+        v5e (docs/ROOFLINE.md round 5). One-time cost; the returned engine is
+        a pytree usable under jit. The codec/cond trees are unchanged (they
+        are a tiny share of the FLOPs).
         """
         from .diffusion.int8_runtime import quantize_denoiser
 
@@ -227,6 +263,7 @@ class Diffsound:
             n_head=int(tcfg.get("n_head", 16)),
             seq_len=self.diffusion.content_seq_len,
             num_timesteps=self.diffusion.diffusion_step,
+            weight_bits=weight_bits,
         )
 
     def calibrate_serving_engine(
@@ -257,8 +294,13 @@ class Diffsound:
         if resample_q:
             raise ValueError("int8 serving does not support q-resample wrappers")
         cond_emb = self.embed_condition(params, cond_tokens)
+        # the calibration pass runs the stacked-jnp path, which needs plain
+        # int8 values; for a W4 engine run it on the bit-identical unpacked
+        # twin and bake the scales into the packed engine
+        from .diffusion.int8_runtime import unpack_denoiser
+
         scales = calibrate_act_scales(
-            qp, self.diffusion.schedule(), key, cond_emb,
+            unpack_denoiser(qp), self.diffusion.schedule(), key, cond_emb,
             truncation_r=r, skip_step=skip_step, margin=margin,
         )
         return qp.replace(act_scales=scales)

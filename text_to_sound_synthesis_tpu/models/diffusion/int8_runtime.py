@@ -40,11 +40,14 @@ from ...ops.quant import (
     quant_dense_reference,
     quant_dense_xla,
     quantize_weight,
+    quantize_weight_w4,
+    unpack_weight_w4,
 )
 
 __all__ = [
     "Int8Denoiser",
     "quantize_denoiser",
+    "unpack_denoiser",
     "int8_backbone_logits",
     "sample_tokens_int8",
     "sample_tokens_int8_sharded",
@@ -96,6 +99,10 @@ class Int8Denoiser(struct.PyTreeNode):
     # None (the default) = per-token dynamic quantization.
     act_scales: Optional[Tuple[Tuple[float, ...], ...]] = struct.field(
         pytree_node=False, default=None)
+    # weight storage width: 8 (int8, default) or 4 (nibble-packed int4 —
+    # W4A8, halved HBM weight stream; quantize_denoiser(weight_bits=4)).
+    # Measured trade on v5e: docs/ROOFLINE.md round 5.
+    weight_bits: int = struct.field(pytree_node=False, default=8)
 
 
 def _ada_table(ln: dict, num_steps: int) -> jnp.ndarray:
@@ -108,17 +115,21 @@ def _ada_table(ln: dict, num_steps: int) -> jnp.ndarray:
     return h @ ln["linear"]["kernel"].astype(jnp.float32) + ln["linear"]["bias"]
 
 
-def _qw(dense: dict) -> QuantizedWeight:
-    return quantize_weight(dense["kernel"], dense.get("bias"))
+def _qw(dense: dict, bits: int = 8) -> QuantizedWeight:
+    quant = quantize_weight if bits == 8 else quantize_weight_w4
+    return quant(dense["kernel"], dense.get("bias"))
 
 
 def quantize_denoiser(params: Any, *, n_head: int, seq_len: int,
-                      num_timesteps: int) -> Int8Denoiser:
+                      num_timesteps: int, weight_bits: int = 8) -> Int8Denoiser:
     """Flax param tree (DiscreteDiffusion or its backbone) -> int8 engine.
 
     Accepts either the full ``{'params': {'backbone': ...}}`` tree of
     ``DiscreteDiffusion`` or the backbone subtree directly.
+    ``weight_bits=4`` stores the eight dense weights per layer nibble-packed
+    int4 (W4A8) — halved HBM weight stream, coarser weight grid (amax/7).
     """
+    assert weight_bits in (8, 4), weight_bits
     p = params.get("params", params)
     p = p.get("backbone", p)
 
@@ -128,14 +139,14 @@ def quantize_denoiser(params: Any, *, n_head: int, seq_len: int,
         b = p[f"block_{i}"]
         ln2 = jnp.stack([b["ln2"]["scale"], b["ln2"]["bias"]]).astype(jnp.float32)
         per_layer.append(Int8Layer(
-            q=_qw(b["attn1"]["query"]),
-            k=_qw(b["attn1"]["key"]),
-            v=_qw(b["attn1"]["value"]),
-            proj=_qw(b["attn1"]["proj"]),
-            crossq=_qw(b["attn2"]["query"]),
-            crossproj=_qw(b["attn2"]["proj"]),
-            fc1=_qw(b["mlp_fc1"]),
-            fc2=_qw(b["mlp_fc2"]),
+            q=_qw(b["attn1"]["query"], weight_bits),
+            k=_qw(b["attn1"]["key"], weight_bits),
+            v=_qw(b["attn1"]["value"], weight_bits),
+            proj=_qw(b["attn1"]["proj"], weight_bits),
+            crossq=_qw(b["attn2"]["query"], weight_bits),
+            crossproj=_qw(b["attn2"]["proj"], weight_bits),
+            fc1=_qw(b["mlp_fc1"], weight_bits),
+            fc2=_qw(b["mlp_fc2"], weight_bits),
             ln2_mod=ln2,
             ada1=_ada_table(b["ln1"], num_timesteps),
             ada2=_ada_table(b["ln1_1"], num_timesteps),
@@ -171,7 +182,22 @@ def quantize_denoiser(params: Any, *, n_head: int, seq_len: int,
         n_head=n_head,
         seq_len=seq_len,
         num_timesteps=num_timesteps,
+        weight_bits=weight_bits,
     )
+
+
+def unpack_denoiser(qp: Int8Denoiser) -> Int8Denoiser:
+    """W4 engine -> plain int8 engine (bit-identical dequantized values) —
+    the jnp/CPU twin of the in-kernel unpack, used by the non-pallas impls
+    and as the W4 test oracle."""
+    if qp.weight_bits == 8:
+        return qp
+    dense_fields = ("q", "k", "v", "proj", "crossq", "crossproj", "fc1", "fc2")
+    layers = tuple(
+        lyr._replace(**{f: unpack_weight_w4(getattr(lyr, f))
+                        for f in dense_fields})
+        for lyr in qp.layers)
+    return qp.replace(layers=layers, weight_bits=8)
 
 
 def _pad_plan(batch: int, seq_len: int) -> Tuple[int, int]:
@@ -260,6 +286,11 @@ def _int8_backbone_hidden(
     s_valid: Optional[int] = None,  # condition length when cond_kvs is flat
 ):
     """Pre-head backbone activations: returns (x (B*L_pad, D), L_pad)."""
+    if qp.weight_bits == 4 and impl != "pallas":
+        # only the block kernels unpack in-VMEM; the jnp/xla twins take the
+        # bit-identical unpacked engine (test oracle / CPU path)
+        qp = unpack_denoiser(qp)
+    w4 = qp.weight_bits == 4
     B, L = tokens.shape
     D = qp.tok_emb.shape[-1]
     H = qp.n_head
@@ -339,16 +370,22 @@ def _int8_backbone_hidden(
         # dim + prefetched weight blocks) is 3% WORSE in context (13.40 vs
         # 13.80 clips/s) — see docs/ROOFLINE.md round 4.
         mlp_impl = _os.environ.get("T2S_MLP_IMPL", "base")
+        if w4:
+            mlp_impl = "base"  # chunked/streamed don't take packed weights
         _bm_default = ("544" if mlp_impl == "chunked"
                        else "1088" if mlp_impl == "streamed" else "272")
         _bm_pref = int(_os.environ.get("T2S_MLP_BM", _bm_default))
+        # T2S_SPLIT_CALLS shards the batch, so run_blocks sees M/split rows —
+        # pick the block size from THAT row count or the kernel's M % block_m
+        # assert trips when a custom/streamed block doesn't divide the shard.
+        _split = int(_os.environ.get("T2S_SPLIT_CALLS", "1"))
         mlp_bm = max(bm for bm in (_bm_pref, 272, 128, 64, 32, 16, 8)
-                     if M % bm == 0)
+                     if (M // _split) % bm == 0)
         n_chunks = int(_os.environ.get(
             "T2S_MLP_CHUNKS", "16" if mlp_impl == "streamed" else "4"))
         # A/B'd on v5e-1 (CLAUDE.md round-2 ledger): split kernels 6183
         # us/step vs merged 6287 — boundaries are free, keep the split
-        pair = _os.environ.get("T2S_ATTN_PAIR", "0") == "1"
+        pair = _os.environ.get("T2S_ATTN_PAIR", "0") == "1" and not w4
         # r4 A/B (tools/bench_attn_ablate.py, v5e-1 trace): 2 batch rows per
         # program + pair-packed MHA with masks folded into the K/V dequants
         # takes self_attn 105.5 -> 93.6 us/layer (rows alone 101.7, pair
@@ -373,12 +410,12 @@ def _int8_backbone_hidden(
                                         batch=B, n_head=H, q_valid=L,
                                         static_s=ls[:2],
                                         rows_per_program=attn_rows,
-                                        mha_mode=attn_mha)
+                                        mha_mode=attn_mha, w4=w4)
                     x = cross_attn_block(x, mod2, ck, cv, lyr.crossq, lyr.crossproj,
                                          batch=B, n_head=H, kv_valid=s_valid,
                                          static_s=ls[2:4],
                                          rows_per_program=attn_rows,
-                                         mha_mode=attn_mha)
+                                         mha_mode=attn_mha, w4=w4)
                 if mlp_impl == "chunked":
                     x = mlp_block_chunked(x, lyr.ln2_mod, lyr.fc1, lyr.fc2,
                                           block_m=mlp_bm, n_chunks=n_chunks,
@@ -390,7 +427,7 @@ def _int8_backbone_hidden(
                 else:
                     x = mlp_block(x, lyr.ln2_mod, lyr.fc1, lyr.fc2, block_m=mlp_bm,
                                   pipeline_halves=_os.environ.get("T2S_MLP_PIPE", "0") == "1",
-                                  static_s=ls[4:6])
+                                  static_s=ls[4:6], w4=w4)
             return x
 
         # PROBE (T2S_SPLIT_CALLS=k, docs/ROOFLINE.md round 4): run the whole
@@ -400,7 +437,7 @@ def _int8_backbone_hidden(
         # the weight-block DMA. One row-slice before the loop, one concat
         # after. Isolates the per-invocation cost that a grid-over-layers
         # megakernel could save.
-        split = int(_os.environ.get("T2S_SPLIT_CALLS", "1"))
+        split = _split
         if split == 1:
             x = run_blocks(x, kv_seq, B)
         else:

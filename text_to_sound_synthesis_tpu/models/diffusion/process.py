@@ -37,6 +37,8 @@ __all__ = [
     "sample_timesteps",
     "update_timestep_state",
     "sample_tokens",
+    "sample_tokens_fused",
+    "sample_tokens_fused_sharded",
 ]
 
 
@@ -412,3 +414,46 @@ def sample_tokens_fused(
     idxs = jnp.arange(ts.shape[0], dtype=jnp.int32)
     (tokens, _), _ = jax.lax.scan(step, (tokens, key), ((ts, t_post), idxs))
     return tokens
+
+
+def sample_tokens_fused_sharded(
+    mesh,
+    model: DiscreteDiffusion,
+    params,
+    key: jax.Array,
+    cond_emb: jnp.ndarray,          # (B, S, Dc); B % mesh data size == 0
+    *,
+    axis: str = "data",
+    truncation_r: float = 0.0,
+    skip_step: int = 0,
+    use_kernel: Optional[bool] = None,
+):
+    """Data-parallel bf16/f32 generation over a ``jax.sharding.Mesh``.
+
+    The shard_map twin of ``int8_runtime.sample_tokens_int8_sharded`` for the
+    full-precision fused sampler (BASELINE config 5: fast sampler,
+    data-parallel over ICI). Generation is embarrassingly batch-parallel —
+    each device runs the full sampler on its batch shard, no collectives.
+    Per-shard PRNG folds the device's position along ``axis`` into the global
+    key, so the result equals running ``sample_tokens_fused`` per shard with
+    ``fold_in(key, i)`` (pinned by tests/test_parallel_generation.py).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis]
+    B = cond_emb.shape[0]
+    if B % n:
+        raise ValueError(
+            f"batch {B} must be a multiple of the '{axis}' axis size {n}")
+
+    def shard_fn(key, cond_shard):
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        return sample_tokens_fused(model, params, key, cond_shard,
+                                   truncation_r=truncation_r,
+                                   skip_step=skip_step, use_kernel=use_kernel)
+
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(P(), P(axis)), out_specs=P(axis),
+                   check_rep=False)
+    return fn(key, cond_emb)

@@ -71,14 +71,41 @@ def _int8_dot(q, w_ref):
     return jnp.dot(q, w_ref[:, :], preferred_element_type=jnp.int32)
 
 
+def _unpack_w4(p):
+    """Nibble-packed (K/2, N) int8 -> (lo, hi) int8 pair ((K/2, N) each).
+
+    Shifts run in int32: int8 shifts (and a direct int4 MXU operand, and even
+    XLA ``astype(int4)``) all crash this toolchain — see docs/ROOFLINE.md
+    round 5. Sign extension via shift-left-28 / arithmetic-shift-right-28."""
+    p32 = p.astype(jnp.int32)
+    hi = jax.lax.shift_right_arithmetic(p32, 4)
+    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p32, 28), 28)
+    return lo.astype(jnp.int8), hi.astype(jnp.int8)
+
+
+def _int8_dot_w4(q, wp_ref):
+    """W4A8 dot: unpack the nibble-packed weight VMEM tile to int8 on the VPU,
+    then two half-K int8 MXU dots. lo holds w[:K/2], hi holds w[K/2:]."""
+    lo, hi = _unpack_w4(wp_ref[:, :])
+    kh = wp_ref.shape[0]
+    return (jnp.dot(q[:, :kh], lo, preferred_element_type=jnp.int32)
+            + jnp.dot(q[:, kh:], hi, preferred_element_type=jnp.int32))
+
+
+def _dot(q, w_ref, w4: bool):
+    return _int8_dot_w4(q, w_ref) if w4 else _int8_dot(q, w_ref)
+
+
 import os as _os
 
 _HEAD_GROUP = int(_os.environ.get("T2S_HEAD_GROUP", "8"))
 
 
-def _par_params(vmem_mb: int = 0):
+def _par_params(vmem_mb: int = 0, semantics=("parallel",)):
     """Grid iterations in every kernel here are independent (row blocks /
     batch elements) — tell Mosaic so it can pipeline across grid steps.
+    Kernels with a sequential accumulation dimension pass their own
+    ``semantics`` tuple (e.g. the streamed MLP's ("parallel", "arbitrary")).
 
     ``vmem_mb`` > 0 lifts the compiler's conservative 16 MiB scoped-vmem
     default for THAT kernel only (v5e has 128 MiB physical): the r4
@@ -86,14 +113,15 @@ def _par_params(vmem_mb: int = 0):
     full-sampler context (fit standalone; the while-loop context shaves the
     margin). Raising the limit globally is NOT free — it changes Mosaic's
     buffering decisions (r4 A/B: the chunked-b544 MLP regressed 117 -> 140
-    us/layer under a blanket 32 MiB limit), so each kernel opts in."""
+    us/layer under a blanket 32 MiB limit), so each kernel opts in;
+    T2S_VMEM_LIMIT_MB overrides the opted-in value."""
     limit = None
     if vmem_mb:
         limit = int(_os.environ.get("T2S_VMEM_LIMIT_MB", str(vmem_mb)))
         limit *= 1024 * 1024
     if _os.environ.get("T2S_PAR_SEMANTICS", "1") == "0":
         return pltpu.CompilerParams(vmem_limit_bytes=limit)
-    return pltpu.CompilerParams(dimension_semantics=("parallel",),
+    return pltpu.CompilerParams(dimension_semantics=semantics,
                                 vmem_limit_bytes=limit)
 
 
@@ -298,7 +326,7 @@ def _self_attn_kernel(x_ref, mod_ref,
                       sq_ref, sk_ref, sv_ref, sp_ref,
                       bq_ref, bk_ref, bv_ref, bp_ref,
                       out_ref, *, n_head: int, q_valid: int, static_s=None,
-                      rows: int = 1, pair: bool = False):
+                      rows: int = 1, pair: bool = False, w4: bool = False):
     s_in, s_out = static_s if static_s is not None else (None, None)
     x = x_ref[:, :].astype(jnp.float32)
     h = _prologue(x, mod_ref[0:1, :].astype(jnp.float32),
@@ -313,9 +341,9 @@ def _self_attn_kernel(x_ref, mod_ref,
         laneD = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1)
         mAf = ((laneD % 128) < hd).astype(jnp.float32)
         mBf = 1.0 - mAf
-        accq = _int8_dot(qx, wq_ref)
-        acck = _int8_dot(qx, wk_ref)
-        accv = _int8_dot(qx, wv_ref)
+        accq = _dot(qx, wq_ref, w4)
+        acck = _dot(qx, wk_ref, w4)
+        accv = _dot(qx, wv_ref, w4)
         q = _deq(accq, s, sq_ref, bq_ref).astype(jnp.bfloat16)
         kA = (acck.astype(jnp.float32) * (s * (sk_ref[0:1, :] * mAf))
               + bk_ref[0:1, :] * mAf).astype(jnp.bfloat16)
@@ -332,21 +360,22 @@ def _self_attn_kernel(x_ref, mod_ref,
                                     vB[r * Lp:(r + 1) * Lp],
                                     n_head, q_valid) for r in range(rows)]
     else:
-        q = _deq(_int8_dot(qx, wq_ref), s, sq_ref, bq_ref).astype(jnp.bfloat16)
-        k = _deq(_int8_dot(qx, wk_ref), s, sk_ref, bk_ref).astype(jnp.bfloat16)
-        v = _deq(_int8_dot(qx, wv_ref), s, sv_ref, bv_ref).astype(jnp.bfloat16)
+        q = _deq(_dot(qx, wq_ref, w4), s, sq_ref, bq_ref).astype(jnp.bfloat16)
+        k = _deq(_dot(qx, wk_ref, w4), s, sk_ref, bk_ref).astype(jnp.bfloat16)
+        v = _deq(_dot(qx, wv_ref, w4), s, sv_ref, bv_ref).astype(jnp.bfloat16)
         segs = [_mha(q[r * Lp:(r + 1) * Lp], k[r * Lp:(r + 1) * Lp],
                      v[r * Lp:(r + 1) * Lp], n_head, q_valid)
                 for r in range(rows)]
     y = (segs[0] if rows == 1 else jnp.concatenate(segs, axis=0)).astype(jnp.bfloat16)
     qy, sy = _quant(y.astype(jnp.float32), s_out)
-    o = _deq(_int8_dot(qy, wp_ref), sy, sp_ref, bp_ref) + x
+    o = _deq(_dot(qy, wp_ref, w4), sy, sp_ref, bp_ref) + x
     out_ref[:, :] = o.astype(out_ref.dtype)
 
 
 def self_attn_block(x, mod, wq, wk, wv, wproj, *, batch: int, n_head: int,
                     q_valid: int, interpret: bool = False, static_s=None,
-                    rows_per_program: int = 1, mha_mode: str = "base"):
+                    rows_per_program: int = 1, mha_mode: str = "base",
+                    w4: bool = False):
     """x (B*Lp, D) bf16 -> x + proj(MHA(adaln(x))) in one kernel.
 
     ``static_s``: optional (s_in, s_out) calibrated Python-float activation
@@ -361,19 +390,24 @@ def self_attn_block(x, mod, wq, wk, wv, wproj, *, batch: int, n_head: int,
     ``mha_mode``: "base" (head-grouped row-stacked softmax) or "pair"
     (pair-packed heads, masks folded into the K/V dequants — r4 A/B: with
     rows_per_program=2, 105.5 -> 93.6 us/layer). "pair" requires two heads
-    per 128-lane group (head_dim 64); asserted here."""
+    per 128-lane group (head_dim 64); asserted here.
+
+    ``w4``: the weights are nibble-packed int4 ((D/2, D) buffers from
+    ``quantize_weight_w4``) — halved HBM weight stream, in-kernel VPU unpack
+    (see docs/ROOFLINE.md round 5 for the measured trade)."""
     M, D = x.shape
     assert batch % rows_per_program == 0, (batch, rows_per_program)
     pair = mha_mode == "pair"
     assert not pair or _pair_ok(n_head, D // n_head), (n_head, D)
     Lp = M // batch
     blk = Lp * rows_per_program
+    Kw = D // 2 if w4 else D
     vec = pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    mat = pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    mat = pl.BlockSpec((Kw, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
     row = pl.BlockSpec((blk, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         partial(_self_attn_kernel, n_head=n_head, q_valid=q_valid,
-                static_s=static_s, rows=rows_per_program, pair=pair),
+                static_s=static_s, rows=rows_per_program, pair=pair, w4=w4),
         out_shape=jax.ShapeDtypeStruct((M, D), x.dtype),
         grid_spec=pl.GridSpec(
             grid=(batch // rows_per_program,),
@@ -398,13 +432,13 @@ def self_attn_block(x, mod, wq, wk, wv, wproj, *, batch: int, n_head: int,
 def _cross_attn_kernel(x_ref, mod_ref, ck_ref, cv_ref,
                        wq_ref, wp_ref, sq_ref, sp_ref, bq_ref, bp_ref,
                        out_ref, *, n_head: int, kv_valid: int, static_s=None,
-                       rows: int = 1, pair: bool = False):
+                       rows: int = 1, pair: bool = False, w4: bool = False):
     s_in, s_out = static_s if static_s is not None else (None, None)
     x = x_ref[:, :].astype(jnp.float32)
     h = _prologue(x, mod_ref[0:1, :].astype(jnp.float32),
                   mod_ref[1:2, :].astype(jnp.float32), "adaln")
     qx, s = _quant(h, s_in)
-    q = _deq(_int8_dot(qx, wq_ref), s, sq_ref, bq_ref).astype(jnp.bfloat16)
+    q = _deq(_dot(qx, wq_ref, w4), s, sq_ref, bq_ref).astype(jnp.bfloat16)
     Lp = x_ref.shape[0] // rows
     Skv = ck_ref.shape[0] // rows
     mha = _mha_pair if pair else _mha
@@ -414,13 +448,14 @@ def _cross_attn_kernel(x_ref, mod_ref, ck_ref, cv_ref,
             for r in range(rows)]
     y = segs[0] if rows == 1 else jnp.concatenate(segs, axis=0)
     qy, sy = _quant(y.astype(jnp.bfloat16).astype(jnp.float32), s_out)
-    o = _deq(_int8_dot(qy, wp_ref), sy, sp_ref, bp_ref) + x
+    o = _deq(_dot(qy, wp_ref, w4), sy, sp_ref, bp_ref) + x
     out_ref[:, :] = o.astype(out_ref.dtype)
 
 
 def cross_attn_block(x, mod, ck, cv, wq, wproj, *, batch: int, n_head: int,
                      kv_valid: int, interpret: bool = False, static_s=None,
-                     rows_per_program: int = 1, mha_mode: str = "base"):
+                     rows_per_program: int = 1, mha_mode: str = "base",
+                     w4: bool = False):
     """x (B*Lp, D); ck/cv (B*Skv, D) bf16 flat cond K/V. ``static_s``:
     optional (s_in, s_out) calibrated static activation scales.
 
@@ -436,13 +471,14 @@ def cross_attn_block(x, mod, ck, cv, wq, wproj, *, batch: int, n_head: int,
     Skv = ck.shape[0] // batch
     blk = Lp * rows_per_program
     kvblk = Skv * rows_per_program
+    Kw = D // 2 if w4 else D
     vec = pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    mat = pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    mat = pl.BlockSpec((Kw, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
     row = pl.BlockSpec((blk, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
     kvrow = pl.BlockSpec((kvblk, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         partial(_cross_attn_kernel, n_head=n_head, kv_valid=kv_valid,
-                static_s=static_s, rows=rows_per_program, pair=pair),
+                static_s=static_s, rows=rows_per_program, pair=pair, w4=w4),
         out_shape=jax.ShapeDtypeStruct((M, D), x.dtype),
         grid_spec=pl.GridSpec(
             grid=(batch // rows_per_program,),
@@ -547,17 +583,18 @@ def attn_pair_block_reference(x, mods, ck, cv, wq, wk, wv, wproj, wcrossq,
 # ---------------------------------------------------------------------------
 
 def _mlp_kernel(x_ref, mod_ref, w1_ref, w2_ref, s1_ref, s2_ref, b1_ref, b2_ref,
-                out_ref, *, pipeline_halves: bool = False, static_s=None):
+                out_ref, *, pipeline_halves: bool = False, static_s=None,
+                w4: bool = False):
     s_in, s_mid = static_s if static_s is not None else (None, None)
 
     def half(x):
         h = _prologue(x, mod_ref[0:1, :].astype(jnp.float32),
                       mod_ref[1:2, :].astype(jnp.float32), "ln")
         qx, s = _quant(h, s_in)
-        u = _deq(_int8_dot(qx, w1_ref), s, s1_ref, b1_ref)
+        u = _deq(_dot(qx, w1_ref, w4), s, s1_ref, b1_ref)
         u = _gelu2(u)
         qu, su = _quant(u, s_mid)
-        return _deq(_int8_dot(qu, w2_ref), su, s2_ref, b2_ref) + x
+        return _deq(_dot(qu, w2_ref, w4), su, s2_ref, b2_ref) + x
 
     if not pipeline_halves:
         out_ref[:, :] = half(x_ref[:, :].astype(jnp.float32)).astype(out_ref.dtype)
@@ -570,26 +607,32 @@ def _mlp_kernel(x_ref, mod_ref, w1_ref, w2_ref, s1_ref, s2_ref, b1_ref, b2_ref,
 
 
 def mlp_block(x, mod, w1, w2, *, block_m: int = 128, interpret: bool = False,
-              pipeline_halves: bool = False, static_s=None):
+              pipeline_halves: bool = False, static_s=None, w4: bool = False):
     """x (M, D) -> x + fc2(gelu2(fc1(ln(x)))) in one kernel. Row-wise: any
     block_m dividing M (128 keeps fc1's int32 accumulator + both weights
     comfortably in VMEM). ``static_s``: optional (s_in, s_mid) calibrated
     static activation scales (the mid site covers the (M, 4D) GELU2 output —
-    the most expensive abs-max pass in the step, docs/ROOFLINE.md)."""
+    the most expensive abs-max pass in the step, docs/ROOFLINE.md).
+    ``w4``: weights are nibble-packed int4 (see ``self_attn_block``)."""
     M, D = x.shape
-    Dh = w1.w_q.shape[1]
+    if w4:
+        Kh1, Dh = w1.w_q.shape      # (D/2, Dh)
+        Kh2, _ = w2.w_q.shape       # (Dh/2, D)
+    else:
+        Kh1, Dh = w1.w_q.shape
+        Kh2 = w2.w_q.shape[0]
     assert M % block_m == 0, (M, block_m)
     return pl.pallas_call(
         partial(_mlp_kernel, pipeline_halves=pipeline_halves,
-                static_s=static_s),
+                static_s=static_s, w4=w4),
         out_shape=jax.ShapeDtypeStruct((M, D), x.dtype),
         grid_spec=pl.GridSpec(
             grid=(M // block_m,),
             in_specs=[
                 pl.BlockSpec((block_m, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((D, Dh), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((Dh, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Kh1, Dh), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Kh2, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, Dh), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, Dh), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -741,7 +784,6 @@ def mlp_block_streamed(x, mod, w1, w2, *, block_m: int = 1088,
     assert M % block_m == 0, (M, block_m)
     assert Dh % n_chunks == 0, (Dh, n_chunks)
     ck = Dh // n_chunks
-    limit = int(_os.environ.get("T2S_VMEM_LIMIT_MB", "24")) * 1024 * 1024
     return pl.pallas_call(
         partial(_mlp_streamed_kernel, static_s=static_s),
         out_shape=jax.ShapeDtypeStruct((M, D), x.dtype),
@@ -771,9 +813,8 @@ def mlp_block_streamed(x, mod, w1, w2, *, block_m: int = 1088,
             pltpu.VMEM((block_m, 1), jnp.float32),   # dynamic row scales
             pltpu.VMEM((block_m, D), jnp.float32),   # f32 accumulator
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=limit),
+        compiler_params=_par_params(
+            vmem_mb=24, semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(x, mod, w1.w_q, w2.w_q, w1.scale, w2.scale, w1.bias, w2.bias)
 

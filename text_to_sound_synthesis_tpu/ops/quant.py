@@ -39,6 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = [
     "QuantizedWeight",
     "quantize_weight",
+    "quantize_weight_w4",
+    "unpack_weight_w4",
     "fused_quant_dense",
     "fused_quant_dense_multi",
     "quant_dense_xla",
@@ -63,6 +65,41 @@ def quantize_weight(w: jnp.ndarray, bias: Optional[jnp.ndarray] = None) -> Quant
     if bias is None:
         bias = jnp.zeros((1, w.shape[1]), jnp.float32)
     return QuantizedWeight(w_q, scale, bias.reshape(1, -1).astype(jnp.float32))
+
+
+def quantize_weight_w4(w: jnp.ndarray, bias: Optional[jnp.ndarray] = None) -> QuantizedWeight:
+    """(K, N) float weight -> symmetric per-column int4, nibble-PACKED.
+
+    W4A8 weight storage (VERDICT r4 #1): halves the HBM weight stream the
+    split-calls probe proved irreducible at int8 (docs/ROOFLINE.md round 4).
+    ``w_q`` is (K/2, N) int8 where byte[k, n] packs w4[k, n] (low nibble,
+    4-bit two's complement) and w4[k + K/2, n] (high nibble) — the split at
+    K/2 keeps the unpacked halves contiguous for the kernel's two half-K
+    dots. The TPU toolchain has no usable native int4 path (Mosaic int4 dot
+    and XLA astype(int4) both crash — round-5 probes), so the kernels unpack
+    on the VPU (ops/int8_block.py::_unpack_w4).
+    """
+    w = w.astype(jnp.float32)
+    K = w.shape[0]
+    assert K % 2 == 0, K
+    amax = jnp.max(jnp.abs(w), axis=0, keepdims=True)          # (1, N)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    w4 = jnp.clip(jnp.round(w / scale), -7, 7).astype(jnp.int32)
+    lo, hi = w4[:K // 2], w4[K // 2:]
+    packed = ((hi << 4) | (lo & 0xF)).astype(jnp.int8)
+    if bias is None:
+        bias = jnp.zeros((1, w.shape[1]), jnp.float32)
+    return QuantizedWeight(packed, scale, bias.reshape(1, -1).astype(jnp.float32))
+
+
+def unpack_weight_w4(w: QuantizedWeight) -> QuantizedWeight:
+    """Packed W4 -> plain (K, N) int8 QuantizedWeight (jnp; the oracle/CPU
+    twin of the in-kernel unpack — bit-identical values)."""
+    p = w.w_q.astype(jnp.int32)
+    hi = jax.lax.shift_right_arithmetic(p, 4)
+    lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p, 28), 28)
+    return QuantizedWeight(jnp.concatenate([lo, hi], axis=0).astype(jnp.int8),
+                           w.scale, w.bias)
 
 
 def _gelu2(x):

@@ -324,7 +324,7 @@ def mha_pair_pre(q, kA, kB, vA, vB, kv_valid, n_head, hd, scale):
 
 
 def make_rows2(static=False, qmask=False, rows=2, pairmode=False,
-               pairdeq=False):
+               pairdeq=False, vmem_mb=0):
     """``rows`` batch rows per program (grid B/rows, block rows*Lp): the QKVP
     dots run at M=rows*272 (fewer weight-switch boundaries, fewer programs),
     with the MHA applied per row-segment to keep batch isolation. Mirrors the
@@ -421,7 +421,9 @@ def make_rows2(static=False, qmask=False, rows=2, pairmode=False,
                           vec, vec, vec, vec, vec, vec, vec, vec],
                 out_specs=row,
             ),
-            compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=vmem_mb * 1024 * 1024 if vmem_mb else None),
         )(x, mod, *wsb)
 
     return f
@@ -535,13 +537,16 @@ def main():
         elif n in ("qkv_fused", "qkv_fused_static"):
             timed(n, make_qkv_fused(ws, static=n.endswith("static")))
         elif n.startswith("rows"):
-            # rows{2,4}[_static][_qmask][_pair]
+            # rows{2,4}[_static][_qmask][_pair][_v{vmem_mb}]
             parts = n.split("_")
+            vmem = next((int(p[1:]) for p in parts
+                         if p.startswith("v") and p[1:].isdigit()), 0)
             timed(n, make_rows2(static="static" in parts,
                                 qmask="qmask" in parts,
                                 pairmode="pair" in parts,
                                 pairdeq="pairdeq" in parts,
-                                rows=int(parts[0].replace("rows", ""))))
+                                rows=int(parts[0].replace("rows", "")),
+                                vmem_mb=vmem))
         else:
             timed(n, make_variant(n))
 

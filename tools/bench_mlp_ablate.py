@@ -231,6 +231,123 @@ def make_skewed(n_chunks=4, static=False, block_m=272, skew=True):
     return f
 
 
+def make_w4(static=False, scratch=False, block_m=272, i32=False):
+    """W4A8: weights stored nibble-PACKED (K/2, N) int8 — two int4 values per
+    byte (lo = w[:K/2], hi = w[K/2:]) — so the HBM weight stream halves.
+    The MXU has no usable int4 operand path on this toolchain (a direct
+    int4-dot kernel crashes tpu_compile_helper; even XLA astype(int4) hits a
+    RecursionError in the runtime — see docs/ROOFLINE.md round 5), so the
+    nibbles are unpacked to int8 on the VPU and fed to two half-K dots:
+
+      acc = q[:, :K/2] @ sext(p << 4 >> 4) + q[:, K/2:] @ (p >> 4)
+
+    ``scratch=True`` unpacks ONCE per invocation (program 0, sequential
+    semantics) into VMEM scratch instead of per program — the best case for
+    the unpack cost. ``i32=True`` does the shifts in int32 (fallback if
+    Mosaic rejects int8 shifts)."""
+    from text_to_sound_synthesis_tpu.ops.quant import _quantize_static
+
+    def q(h):
+        return _quantize_static(h, 0.05) if static else _quantize_rows(h)
+
+    def unpack(p):
+        if i32:
+            p32 = p.astype(jnp.int32)
+            hi = jax.lax.shift_right_arithmetic(p32, 4)
+            lo = jax.lax.shift_right_arithmetic(
+                jax.lax.shift_left(p32, 28), 28)
+            return lo.astype(jnp.int8), hi.astype(jnp.int8)
+        four = jnp.int8(4)
+        hi = jax.lax.shift_right_arithmetic(p, four)
+        lo = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p, four), four)
+        return lo, hi
+
+    def body(x_ref, mod_ref, s1_ref, s2_ref, b1_ref, b2_ref, out_ref,
+             w1lo, w1hi, w2lo, w2hi):
+        x = x_ref[:, :].astype(jnp.float32)
+        h = _prologue(x, mod_ref[0:1, :].astype(jnp.float32),
+                      mod_ref[1:2, :].astype(jnp.float32), "ln")
+        qx, s = q(h)
+        Kh = D // 2
+        acc1 = (jnp.dot(qx[:, :Kh], w1lo, preferred_element_type=jnp.int32)
+                + jnp.dot(qx[:, Kh:], w1hi, preferred_element_type=jnp.int32))
+        u = acc1.astype(jnp.float32) * (s * s1_ref[0:1, :]) + b1_ref[0:1, :]
+        u = _gelu2(u)
+        qu, su = q(u)
+        Dhh = DH // 2
+        acc2 = (jnp.dot(qu[:, :Dhh], w2lo, preferred_element_type=jnp.int32)
+                + jnp.dot(qu[:, Dhh:], w2hi, preferred_element_type=jnp.int32))
+        y = acc2.astype(jnp.float32) * (su * s2_ref[0:1, :]) + b2_ref[0:1, :] + x
+        out_ref[:, :] = y.astype(out_ref.dtype)
+
+    if scratch:
+        def kernel(x_ref, mod_ref, w1p_ref, w2p_ref, s1_ref, s2_ref,
+                   b1_ref, b2_ref, out_ref,
+                   w1lo_s, w1hi_s, w2lo_s, w2hi_s):
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                lo1, hi1 = unpack(w1p_ref[:, :])
+                w1lo_s[:, :] = lo1
+                w1hi_s[:, :] = hi1
+                lo2, hi2 = unpack(w2p_ref[:, :])
+                w2lo_s[:, :] = lo2
+                w2hi_s[:, :] = hi2
+
+            body(x_ref, mod_ref, s1_ref, s2_ref, b1_ref, b2_ref, out_ref,
+                 w1lo_s[:, :], w1hi_s[:, :], w2lo_s[:, :], w2hi_s[:, :])
+
+        scratch_shapes = [pltpu.VMEM((D // 2, DH), jnp.int8),
+                          pltpu.VMEM((D // 2, DH), jnp.int8),
+                          pltpu.VMEM((DH // 2, D), jnp.int8),
+                          pltpu.VMEM((DH // 2, D), jnp.int8)]
+        semantics = ("arbitrary",)   # program 0 must run first
+    else:
+        def kernel(x_ref, mod_ref, w1p_ref, w2p_ref, s1_ref, s2_ref,
+                   b1_ref, b2_ref, out_ref):
+            lo1, hi1 = unpack(w1p_ref[:, :])
+            lo2, hi2 = unpack(w2p_ref[:, :])
+            body(x_ref, mod_ref, s1_ref, s2_ref, b1_ref, b2_ref, out_ref,
+                 lo1, hi1, lo2, hi2)
+
+        scratch_shapes = []
+        semantics = ("parallel",)
+
+    def f(x, mod, w1, w2, s1, s2, b1, b2):
+        # PACK outside the kernel (one-off at engine build time in a real
+        # deployment): requantize int8 -> int4 range, then nibble-pack
+        def pack(w):
+            w4 = jnp.clip(jnp.round(w.astype(jnp.float32) / 16.0), -7, 7
+                          ).astype(jnp.int32)
+            Kh = w.shape[0] // 2
+            lo, hi = w4[:Kh], w4[Kh:]
+            return ((hi << 4) | (lo & 0xF)).astype(jnp.int8)
+
+        w1p, w2p = pack(w1), pack(w2)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((M, D), jnp.bfloat16),
+            grid=(M // block_m,),
+            in_specs=[
+                pl.BlockSpec((block_m, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((D // 2, DH), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((DH // 2, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, DH), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, DH), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block_m, D), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=scratch_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=semantics,
+                vmem_limit_bytes=48 * 1024 * 1024 if scratch else None),
+        )(x, mod, w1p, w2p, s1, s2, b1, b2)
+
+    return f
+
+
 def main():
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -311,6 +428,14 @@ def main():
             ss = (0.05, 0.05) if "static" in parts else None
             timed(n, lambda x, *a, _b=bm, _c=nch, _s=ss: IB.mlp_block_streamed(
                 x, mod, w1, w2, block_m=_b, n_chunks=_c, static_s=_s))
+        elif n.startswith("w4"):
+            # w4[_static][_scratch][_i32][_b{block_m}]
+            parts = n.split("_")
+            bm = next((int(p[1:]) for p in parts
+                       if p.startswith("b") and p[1:].isdigit()), 272)
+            timed(n, make_w4(static="static" in parts,
+                             scratch="scratch" in parts,
+                             i32="i32" in parts, block_m=bm))
         elif n.startswith("skew") or n.startswith("ctrl"):
             # skew{4,8}[_static][_b544] / ctrl{4,8}[_static][_b544]
             parts = n.split("_")

@@ -168,6 +168,14 @@ def main():
         dt, _ = timed(int8, qp_s, jax.random.PRNGKey(0), cond8)
         report("diffsound_100step_batch8_int8_static", 8.0 / dt, "clips/sec")
 
+        # W4A8 nibble-packed weight storage (the round-5 serving default:
+        # halved HBM weight stream, in-kernel unpack; docs/ROOFLINE.md r5)
+        qp_w4 = jax.device_put(quantize_denoiser(
+            dparams, n_head=16, seq_len=265, num_timesteps=100,
+            weight_bits=4)).replace(act_scales=((0.05,) * 6,) * 19)
+        dt, _ = timed(int8, qp_w4, jax.random.PRNGKey(0), cond8)
+        report("diffsound_100step_batch8_w4a8_static", 8.0 / dt, "clips/sec")
+
         cond32 = jax.random.normal(jax.random.PRNGKey(8), (32, 77, 512))
         fast = jax.jit(lambda p, k, c: sample_tokens_fused(den, p, k, c,
                                                            truncation_r=0.85, skip_step=3))
@@ -189,6 +197,10 @@ def main():
         cond64 = jax.random.normal(jax.random.PRNGKey(9), (64, 77, 512))
         dt, _ = timed(fast_i8, qp_s, jax.random.PRNGKey(0), cond64)
         report("diffsound_fast25step_batch64_int8_static", 64.0 / dt, "clips/sec")
+
+        # fast25 on the W4A8 engine at the same batch — the r5 serving default
+        dt, _ = timed(fast_i8, qp_w4, jax.random.PRNGKey(0), cond32)
+        report("diffsound_fast25step_batch32_w4a8_static", 32.0 / dt, "clips/sec")
 
     # ---- 7. honest end-to-end: caption text in -> 22.05 kHz wav out --------
     # the EXACT reference inference path (generate_samples_batch.py:143-186):

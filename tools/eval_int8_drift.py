@@ -55,6 +55,9 @@ def main(argv=None):
     p.add_argument("--static", action="store_true",
                    help="calibrate static activation scales on the first "
                         "caption batch and evaluate the static-quant engine")
+    p.add_argument("--w4", action="store_true",
+                   help="nibble-packed W4A8 weight storage (round-5 serving "
+                        "default candidate; coarser weight grid than int8)")
     p.add_argument("--train_steps", type=int, default=0,
                    help="briefly train the denoiser on synthetic batches "
                         "first (random init draws near-degenerate samples; "
@@ -117,7 +120,7 @@ def main(argv=None):
         print(f"trained {args.train_steps} steps in {time.time() - t0:.0f}s",
               file=sys.stderr)
 
-    qp = model.quantize_for_serving(params)
+    qp = model.quantize_for_serving(params, weight_bits=4 if args.w4 else 8)
 
     caps = DEFAULT_CAPTIONS
     if args.captions:

@@ -43,8 +43,12 @@ def get_args():
     p.add_argument("--replicate", type=int, default=2)
     p.add_argument("--sample_type", default="top0.85r")
     p.add_argument("--int8", action="store_true",
-                   help="serve the denoiser through the W8A8 int8 engine "
+                   help="serve the denoiser through the int8 engine "
                         "(models/diffusion/int8_runtime) — ~1.7x faster on TPU")
+    p.add_argument("--weight_bits", type=int, default=4, choices=[8, 4],
+                   help="with --int8: weight storage width. 4 (default) = "
+                        "nibble-packed W4A8, the fastest measured serving "
+                        "config (docs/ROOFLINE.md round 5); 8 = plain int8")
     p.add_argument("--batch", type=int, default=5)
     p.add_argument("--duration", type=float, default=None,
                    help="target clip length in SECONDS; >~10 s engages "
@@ -80,9 +84,19 @@ def load_params(model, ckpt, seed=0):
         return convert_diffsound_checkpoint(ckpt, model, template, prefer_ema=True)
     import orbax.checkpoint as ocp
 
-    restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(ckpt),
-                                                item=jax.device_get(template))
-    return jax.tree_util.tree_map(jax.numpy.asarray, restored)
+    raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(ckpt))
+    if isinstance(raw, dict) and "state" in raw and "frozen" in raw:
+        # a Solver training checkpoint (engine/solver.py save layout):
+        # EMA-preferred, like the reference's ckpt['ema'] preference
+        # (generate_samples_batch.py:82-86)
+        st = raw["state"]
+        diff = st.get("ema_params") if st.get("ema_params") is not None \
+            else st["params"]
+        raw = {"codec": raw["frozen"]["codec"], "cond": raw["frozen"]["cond"],
+               "diffusion": diff}
+    # structural check vs the model's param template, then adopt
+    jax.tree_util.tree_map(lambda a, b: None, jax.device_get(template), raw)
+    return jax.tree_util.tree_map(jax.numpy.asarray, raw)
 
 
 def main():
@@ -127,7 +141,8 @@ def main():
     # embedded as HLO constants and blow the remote-compile relay's
     # request-size cap at flagship size (HTTP 413 — CLAUDE.md; same fix as
     # tools/serve.py)
-    qp = jax.device_put(model.quantize_for_serving(params)) if args.int8 else None
+    qp = (jax.device_put(model.quantize_for_serving(
+        params, weight_bits=args.weight_bits)) if args.int8 else None)
 
     if frames is not None:
         @jax.jit

@@ -50,10 +50,15 @@ def run(args):
 
     cfg = load_yaml_config(args.config)
     model: Net2NetTransformer = instantiate_from_config(cfg["model"])
+    # feature width from the config (512 for the CLIP-feature baseline) — the
+    # init template must match the checkpoint's embedder, not a hardcoded 512
+    fcfg = cfg["model"]["params"]["transformer_config"]["params"]
+    feat_dim = int(fcfg["feat_embedding_config"]["params"]["in_channels"])
 
     import orbax.checkpoint as ocp
 
-    template = model.init_params(jax.random.PRNGKey(args.seed))
+    template = model.init_params(jax.random.PRNGKey(args.seed),
+                                 cond_shape=(1, feat_dim, 1))
     params = ocp.PyTreeCheckpointer().restore(os.path.abspath(args.ckpt),
                                               item=jax.device_get(template))
     params = jax.tree_util.tree_map(jnp.asarray, params)
@@ -84,8 +89,8 @@ def run(args):
     for start in range(0, len(feat_files), args.batch):
         chunk = feat_files[start : start + args.batch]
         feats = np.stack([
-            np.loadtxt(f, dtype=np.float32).reshape(-1)[:512] for f in chunk
-        ])[:, :, None]  # (B, 512, 1)
+            np.loadtxt(f, dtype=np.float32).reshape(-1)[:feat_dim] for f in chunk
+        ])[:, :, None]  # (B, feat_dim, 1)
         for s in range(args.samples_per_video):
             key, k = jax.random.split(key)
             mel = np.asarray(sample(params, k, jnp.asarray(feats)))

@@ -21,7 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_check(splits=(2,), n_layer=2):
-    """Return {split: max_abs_diff_vs_unsplit}; all values must be 0."""
+    """Return ({split: max_abs_diff_vs_unsplit}, bf16_ulp_of_max_logit).
+
+    The ULP scale makes the gate magnitude-relative: a one-ULP layout
+    difference stays one ULP even if logit magnitudes shift with init scale
+    or layer count (bf16 ULP = 2^(exponent-7), not a fixed constant)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -81,13 +85,15 @@ def run_check(splits=(2,), n_layer=2):
             os.environ.pop("T2S_SPLIT_CALLS", None)
         else:
             os.environ["T2S_SPLIT_CALLS"] = prev
-    return diffs
+    max_abs = float(np.abs(base).max())
+    ulp = 2.0 ** (np.floor(np.log2(max_abs)) - 7) if max_abs > 0 else 0.0
+    return diffs, float(ulp)
 
 
 if __name__ == "__main__":
-    diffs = run_check(splits=(2, 4))
-    print("max abs diff vs unsplit:", diffs)
+    diffs, ulp = run_check(splits=(2, 4))
+    print("max abs diff vs unsplit:", diffs, "bf16 ulp(max logit):", ulp)
     # split=2 bitwise; split=4 is one bf16 ULP (Mosaic layout choice at the
     # 2-rows-per-call grids) — see the pinned test in test_int8_runtime.py
-    assert diffs[2] == 0.0 and diffs[4] <= 2.0 ** -12, diffs
+    assert diffs[2] == 0.0 and diffs[4] <= ulp, (diffs, ulp)
     print("OK: split==unsplit (bitwise at 2, <=1 bf16 ULP at 4)")

@@ -49,7 +49,11 @@ def get_args(argv=None):
     p.add_argument("--griffin_lim", action="store_true")
     p.add_argument("--sample_type", default="top0.85r")
     p.add_argument("--int8", action="store_true",
-                   help="serve through the W8A8 int8 engine (recommended on TPU)")
+                   help="serve through the int8 engine (recommended on TPU)")
+    p.add_argument("--weight_bits", type=int, default=4, choices=[8, 4],
+                   help="with --int8: weight storage width. 4 (default) = "
+                        "nibble-packed W4A8, fastest measured serving config "
+                        "(docs/ROOFLINE.md round 5); 8 = plain int8")
     p.add_argument("--calibrate", default=None, metavar="CAPTIONS_TXT",
                    help="with --int8: calibrate static activation scales on "
                         "these captions (one per line) and serve the "
@@ -135,7 +139,7 @@ class Engine:
             _, skip, resample_q = parse_sample_type(args.sample_type)
             if resample_q:
                 raise ValueError("int8 serving does not support q-resample")
-            qp = self._maybe_calibrate(self.model.quantize_for_serving(self.params))
+            qp = self._maybe_calibrate(self.model.quantize_for_serving(self.params, weight_bits=args.weight_bits))
             sched = self.model.diffusion.schedule()
             mesh = make_mesh(data=ndev)
             print(f"[serve] int8 sharded over {ndev} devices", flush=True)
@@ -154,7 +158,7 @@ class Engine:
             qp = jax.device_put(qp)
             run = lambda params, key, toks: run_sharded(params, qp, key, toks)  # noqa: E731
         elif args.int8:
-            qp = self._maybe_calibrate(self.model.quantize_for_serving(self.params))
+            qp = self._maybe_calibrate(self.model.quantize_for_serving(self.params, weight_bits=args.weight_bits))
 
             @jax.jit
             def run_int8(params, qp, key, toks):

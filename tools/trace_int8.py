@@ -3,11 +3,12 @@
 ``jax.profiler.trace`` and aggregate per-kernel device time from the exported
 Chrome-trace JSON (no tensorboard/tensorflow needed).
 
-Usage: python tools/trace_int8.py [steps=20] [impl=pallas] [static]
+Usage: python tools/trace_int8.py [steps=20] [impl=pallas] [static] [w4]
 Prints total device time per kernel name (top 25) for ONE sampler invocation.
-A third arg of "static" calibrates static activation scales on the benchmark
+An arg of "static" calibrates static activation scales on the benchmark
 conditioning first (models/diffusion/calibrate.py) and traces the
-abs-max-free static-quant engine instead of the dynamic one.
+abs-max-free static-quant engine instead of the dynamic one; "w4" builds the
+nibble-packed W4A8 engine (quantize_denoiser weight_bits=4, round 5).
 """
 
 import os
@@ -24,7 +25,8 @@ BATCH = 8
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     impl = sys.argv[2] if len(sys.argv) > 2 else "pallas"
-    static = len(sys.argv) > 3 and sys.argv[3] == "static"
+    static = "static" in sys.argv[3:]
+    w4 = "w4" in sys.argv[3:]
 
     import jax
     import jax.numpy as jnp
@@ -66,7 +68,8 @@ def main():
 
     dparams = jax.tree_util.tree_map(mk, dshapes)
     qp = jax.device_put(quantize_denoiser(dparams, n_head=16, seq_len=265,
-                                          num_timesteps=steps))
+                                          num_timesteps=steps,
+                                          weight_bits=4 if w4 else 8))
     sched = denoiser.schedule()
     cond = jax.random.normal(jax.random.PRNGKey(7), (BATCH, 77, 512), jnp.float32)
     cond = cond / jnp.linalg.norm(cond, axis=-1, keepdims=True)
@@ -76,8 +79,14 @@ def main():
             calibrate_act_scales,
         )
 
+        from text_to_sound_synthesis_tpu.models.diffusion.int8_runtime import (
+            unpack_denoiser,
+        )
+
         t0 = time.time()
-        scales = calibrate_act_scales(qp, sched, jax.random.PRNGKey(9), cond,
+        # the calibration pass runs the stacked-jnp path -> plain int8 values
+        scales = calibrate_act_scales(unpack_denoiser(qp), sched,
+                                      jax.random.PRNGKey(9), cond,
                                       truncation_r=0.85)
         qp = qp.replace(act_scales=scales)
         print(f"calibration {time.time() - t0:.1f}s", file=sys.stderr)

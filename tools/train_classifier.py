@@ -40,6 +40,9 @@ def main():
                    default=True,
                    help="inverse-frequency class weights (--no-weighted_ce "
                         "to disable)")
+    p.add_argument("--conv_layers", default=None,
+                   help="vggishish conv stack override, comma list of widths "
+                        "and MP tokens (e.g. '8,MP,16') — small-geometry runs")
     p.add_argument("--out", default="OUTPUT")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
@@ -74,7 +77,12 @@ def main():
     if args.arch == "vggishish":
         from text_to_sound_synthesis_tpu.models.lpaps import VGGishish
 
-        model = VGGishish(num_classes=args.num_classes)
+        if args.conv_layers:
+            layers = tuple(t if t == "MP" else int(t)
+                           for t in args.conv_layers.split(","))
+            model = VGGishish(num_classes=args.num_classes, conv_layers=layers)
+        else:
+            model = VGGishish(num_classes=args.num_classes)
     else:
         from text_to_sound_synthesis_tpu.models.melception import Melception
 
