@@ -74,3 +74,26 @@ def test_static_quant_drift_within_reseed_floor():
                      "--train_steps", "40", "--clips", "24", "--static"])
     assert out["fid_bf16_seed_floor"] > 0
     assert out["drift_ratio"] <= MAX_DRIFT_RATIO, out
+
+
+@pytest.mark.slow
+def test_w4a8_static_drift_within_reseed_floor():
+    """Same gate for the W4A8 nibble-packed engine (the round-5 serving
+    default): the coarser int4 weight grid must still keep the output
+    distribution inside the reseeding floor. Measured on v5e-1 at this
+    protocol: see CLAUDE.md round-5 ledger."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("flagship drift gate runs on TPU only (see module docstring)")
+    from tests.test_composite import _has_bpe
+
+    if not _has_bpe():
+        pytest.skip("BPE artifact unavailable")
+
+    import eval_int8_drift as tool
+
+    out = tool.main(["--config_file",
+                     os.path.join(REPO, "configs/diffsound_audiocaps.yaml"),
+                     "--train_steps", "40", "--clips", "24", "--static",
+                     "--w4"])
+    assert out["fid_bf16_seed_floor"] > 0
+    assert out["drift_ratio"] <= MAX_DRIFT_RATIO, out

@@ -6,7 +6,7 @@
 # well under that limit and the chunks together cover every file in tests/.
 # A coverage guard at the end fails if a new test file is not in any chunk.
 #
-# Usage: sh tools/run_tests.sh [chunk]   (chunk = 1..7; default: all)
+# Usage: sh tools/run_tests.sh [chunk]   (chunk = 1..9; default: all)
 set -u
 cd "$(dirname "$0")/.."
 
@@ -27,6 +27,8 @@ tests/test_gan_step_parity.py"
 CHUNK5="tests/test_vocoder_training.py tests/test_vocoder_learning.py \
 tests/test_vqgan_training.py tests/test_static_quant.py tests/test_fused_gn_conv.py \
 tests/test_parallel.py"
+CHUNK8="tests/test_e2e_chain.py"
+CHUNK9="tests/test_parallel_generation.py"
 
 fail=0
 run_chunk() {
@@ -36,7 +38,7 @@ run_chunk() {
 }
 
 check_coverage() {
-    all="$CHUNK1 $CHUNK2 $CHUNK3 $CHUNK4 $CHUNK5 $CHUNK6 $CHUNK7"
+    all="$CHUNK1 $CHUNK2 $CHUNK3 $CHUNK4 $CHUNK5 $CHUNK6 $CHUNK7 $CHUNK8 $CHUNK9"
     for f in tests/test_*.py; do
         case " $all " in
             *" $f "*) ;;
@@ -53,6 +55,8 @@ case "${1:-all}" in
     5) run_chunk 5 "$CHUNK5" ;;
     6) run_chunk 6 "$CHUNK6" ;;
     7) run_chunk 7 "$CHUNK7" ;;
+    8) run_chunk 8 "$CHUNK8" ;;
+    9) run_chunk 9 "$CHUNK9" ;;
     all)
         check_coverage
         run_chunk 1 "$CHUNK1"
@@ -62,7 +66,9 @@ case "${1:-all}" in
         run_chunk 5 "$CHUNK5"
         run_chunk 6 "$CHUNK6"
         run_chunk 7 "$CHUNK7"
+        run_chunk 8 "$CHUNK8"
+        run_chunk 9 "$CHUNK9"
         ;;
-    *) echo "usage: sh tools/run_tests.sh [1|2|3|4|5|6|7|all]"; exit 2 ;;
+    *) echo "usage: sh tools/run_tests.sh [1|2|3|4|5|6|7|8|9|all]"; exit 2 ;;
 esac
 exit $fail

@@ -180,8 +180,13 @@ class Engine:
         self._key = jax.random.PRNGKey(args.seed)
         self.served = 0
         self._warm()
-        t = threading.Thread(target=self._collector, daemon=True)
-        t.start()
+        # pipelined dispatch: the collector only ENQUEUES device work (JAX
+        # dispatch is async), a separate fetcher thread does the blocking
+        # device->host transfer — so batch N's result fetch overlaps batch
+        # N+1's device compute. Depth 2 bounds in-flight device memory.
+        self._fetch_q: "queue.Queue" = queue.Queue(maxsize=2)
+        threading.Thread(target=self._collector, daemon=True).start()
+        threading.Thread(target=self._fetcher, daemon=True).start()
 
     def _maybe_calibrate(self, qp):
         """--calibrate: bake static activation scales from a caption file."""
@@ -243,12 +248,25 @@ class Engine:
         caps = caps + [""] * (self.args.batch - len(caps))
         toks = self.jnp.asarray(self.model.text_to_tokens(caps)["token"])
         self._key, k = self.jax.random.split(self._key)
-        mel = np.asarray(self._run(self.params, k, toks))
-        spec = (mel[..., 0] + 1.0) / 2.0      # [0, 1] TRANSFORMS spec
-        for i, (req, done) in enumerate(batch):
-            done["spec"] = spec[i]
-            done["event"].set()
-        self.served += len(batch)
+        # async dispatch: returns a device array immediately; the fetcher
+        # thread blocks on the transfer while the NEXT batch computes
+        mel_dev = self._run(self.params, k, toks)
+        self._fetch_q.put((batch, mel_dev))
+
+    def _fetcher(self):
+        while True:
+            batch, mel_dev = self._fetch_q.get()
+            try:
+                mel = np.asarray(mel_dev)
+                spec = (mel[..., 0] + 1.0) / 2.0  # [0, 1] TRANSFORMS spec
+                for i, (req, done) in enumerate(batch):
+                    done["spec"] = spec[i]
+                    done["event"].set()
+                self.served += len(batch)
+            except Exception as e:  # noqa: BLE001 — a bad fetch must not kill the loop
+                for _, done in batch:
+                    done["error"] = repr(e)
+                    done["event"].set()
 
     def generate(self, caption: str) -> np.ndarray:
         done = {"event": threading.Event()}
