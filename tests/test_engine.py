@@ -66,15 +66,28 @@ def test_cosine_scheduler():
 
 
 def test_clip_grad_window():
+    # reference semantics (clip_grad_norm.py:20-28): conditions are OR-ed,
+    # so start=0 means ALWAYS clipped — even past end_iteration
     clip = ClipGradNorm(start_iteration=0, end_iteration=10, max_norm=0.5)
     g = {"w": jnp.full((100,), 1.0)}
     clipped, norm = clip(g, jnp.asarray(5))
     assert float(norm) == pytest.approx(10.0)
     gn = float(jnp.linalg.norm(clipped["w"]))
     assert gn == pytest.approx(0.5, rel=1e-3)
-    # outside the window: untouched
-    clipped, _ = clip(g, jnp.asarray(100))
+    clipped, _ = clip(g, jnp.asarray(100))  # start=0 keeps it active forever
+    assert float(jnp.linalg.norm(clipped["w"])) == pytest.approx(0.5, rel=1e-3)
+
+    # before start and past a positive end: inactive
+    clip2 = ClipGradNorm(start_iteration=50, end_iteration=10, max_norm=0.5)
+    clipped, _ = clip2(g, jnp.asarray(20))
     np.testing.assert_allclose(np.asarray(clipped["w"]), 1.0)
+    # ... but iter < end keeps it on even before start (the OR)
+    clipped, _ = clip2(g, jnp.asarray(5))
+    assert float(jnp.linalg.norm(clipped["w"])) == pytest.approx(0.5, rel=1e-3)
+    # end_iteration=-1 ("always clipped" comment): active via start=0
+    clip3 = ClipGradNorm(max_norm=0.5)
+    clipped, _ = clip3(g, jnp.asarray(10**6))
+    assert float(jnp.linalg.norm(clipped["w"])) == pytest.approx(0.5, rel=1e-3)
 
 
 def test_ema_update_gated():

@@ -67,6 +67,26 @@ def test_crop_out_of_range_raises(mel_files):
         load_mel_batch(paths[:1], 64, 999, [0], [0])
 
 
+def test_short_offset_lists_raise(mel_files):
+    # the C side indexes tops/lefts[0..n) — a short list must fail in Python,
+    # not read past the end of the buffer
+    paths, _ = mel_files
+    with pytest.raises(ValueError):
+        load_mel_batch(paths, 64, 96, tops=[0])
+    with pytest.raises(ValueError):
+        load_mel_batch(paths, 64, 96, lefts=[0, 0])
+
+
+def test_corrupt_header_length_is_ioerror(tmp_path):
+    # v2 .npy whose 4-byte header-length field decodes to ~4 GB: must surface
+    # as the loader's IOError contract, not a bad_alloc/terminate in the pool
+    p = str(tmp_path / "bad.npy")
+    with open(p, "wb") as f:
+        f.write(b"\x93NUMPY\x02\x00" + b"\xff\xff\xff\xef" + b"junk")
+    with pytest.raises(IOError):
+        load_mel_batch([p], 8, 8, [0], [0])
+
+
 def test_unsupported_file_raises(tmp_path, rng):
     # fortran-order file: native refuses (Python fallback handles it upstream)
     p = str(tmp_path / "f.npy")

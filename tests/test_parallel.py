@@ -139,3 +139,23 @@ def test_megatron_sharding_rules(setup):
     # biases / norms replicated
     bias = [k for k in flat if k.endswith("['bias']")]
     assert bias and all(flat[k].spec == P() for k in bias)
+
+
+def test_shard_batch_handles_scalar_and_rank0_leaves():
+    # a batch dict may carry rank-0 leaves (step counters, python scalars);
+    # they have no batch axis — shard_batch must replicate them, not crash
+    from text_to_sound_synthesis_tpu.parallel.mesh import shard_batch
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(data=8)
+    batch = {"mel": np.ones((8, 4, 4), np.float32),
+             "step": np.float32(3.0),
+             "flag": 7}
+    out = shard_batch(batch, mesh)
+    assert out["mel"].sharding.spec == P("data", None, None)
+    assert out["step"].sharding.spec == P()
+    assert int(out["flag"]) == 7 and float(out["step"]) == 3.0
+    # rank-0 default via batch_sharding too
+    assert batch_sharding(mesh, ndim=0).spec == P()
+    assert batch_sharding(mesh).spec == P("data")

@@ -73,6 +73,17 @@ def test_wav_to_mel_np_vs_jax(rng):
     np.testing.assert_allclose(got, want, atol=1e-3)
 
 
+def test_wav_to_mel_short_window_np_vs_jax(rng):
+    # win_length < n_fft: both paths center-pad the window to n_fft (librosa
+    # pad_center); the JAX path used to crash on the shape mismatch
+    y = rng.standard_normal(22050).astype(np.float32)
+    cfg = sg.MelConfig(win_length=512)
+    assert cfg.n_fft == 1024
+    want = sg.wav_to_mel_np(y, cfg)
+    got = np.asarray(sg.wav_to_mel(jnp.asarray(y), cfg))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
 def test_db_chain_inverse():
     mel01 = np.linspace(0.01, 1.0, 100).reshape(10, 10)
     power = sg.denormalize_mel_np(mel01)

@@ -107,11 +107,18 @@ def test_vqgan_train_step_improves_recon(rng):
 
 
 def test_feature_matching_l1():
+    # reference weighting (train.py:167-176): per-map wt = 4/(n_layers_D+1)
+    # * 1/num_D = 4/(len(scale)-2) * 1/num_D; only the non-final maps count
     real = [[jnp.ones((1, 4, 2)), jnp.zeros((1, 4, 1))]]
     fake = [[jnp.zeros((1, 4, 2)), jnp.ones((1, 4, 1))]]
-    # only the non-final maps count
     out = float(feature_matching_l1(real, fake))
-    assert out == pytest.approx(1.0)
+    assert out == pytest.approx(4.0)  # one map, |1-0|=1, wt = 4/1 * 1/1
+
+    # 2 scales x (3 maps + logits) = n_layers_D 1 -> wt = 4/(1+1) * 1/2 = 1
+    real2 = [[jnp.full((2, 3), 2.0)] * 3 + [jnp.zeros((2, 1))]] * 2
+    fake2 = [[jnp.zeros((2, 3))] * 3 + [jnp.ones((2, 1))]] * 2
+    out2 = float(feature_matching_l1(real2, fake2))
+    assert out2 == pytest.approx(2 * 3 * 1.0 * 2.0)  # scales x maps x wt x L1
 
 
 # -- AE-only variants (VQNoDiscModel / VQSegmentationModel, vqgan.py:232-331) --
@@ -166,3 +173,14 @@ def test_segmentation_model_and_train_step(rng):
                       method=codec.segmentation_to_rgb)
     assert rgb.shape == (2, 8, 32, 3)
     assert float(jnp.max(rgb)) <= 1.0 and float(jnp.min(rgb)) >= -1.0
+
+
+def test_segmentation_model_label_channel_mismatch_raises(rng):
+    from text_to_sound_synthesis_tpu.models.vqgan import VQSegmentationModel
+
+    # n_labels without matching ddconfig.out_ch used to silently build a
+    # 1-channel decoder; now it fails at construction time
+    codec = VQSegmentationModel(ddconfig=dict(SMALL_DD), n_embed=8,
+                                embed_dim=16, n_labels=4)
+    with pytest.raises(ValueError, match="out_ch"):
+        codec.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 32, 4)))

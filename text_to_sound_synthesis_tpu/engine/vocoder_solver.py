@@ -25,6 +25,7 @@ from flax import struct
 import optax
 
 from ..models.melgan import MelGANDiscriminator, MelGANGenerator
+from ..ops.gan import feature_matching_l1
 from ..ops.signal import wav_to_mel
 
 __all__ = ["VocoderTrainState", "make_vocoder_train_step", "mel_for_vocoder"]
@@ -62,7 +63,6 @@ def make_vocoder_train_step(
     donate: bool = True,
 ) -> Callable:
     """Returns jitted ``step(state, wav) -> (state, metrics)``; wav (B, T)."""
-    feat_wt = (4.0 / (n_layers_D + 1)) * (1.0 / num_D)
 
     def step_fn(state: VocoderTrainState, wav: jnp.ndarray):
         mel = mel_for_vocoder(wav)
@@ -101,10 +101,9 @@ def make_vocoder_train_step(
             adv = 0.0
             for scale in fake_feats:
                 adv = adv - jnp.mean(scale[-1])
-            fm = 0.0
-            for fr, ff in zip(real_feats, fake_feats):
-                for r, f in zip(fr[:-1], ff[:-1]):
-                    fm = fm + feat_wt * jnp.mean(jnp.abs(f - r))
+            # shared reference-weighted FM helper (ops/gan.py): its
+            # structure-derived 4/(len(scale)-2) * 1/num_D == feat_wt here
+            fm = feature_matching_l1(real_feats, fake_feats)
             loss = adv + lambda_feat * fm
             return loss, (adv, fm, fake)
 

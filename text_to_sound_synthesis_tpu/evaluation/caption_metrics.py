@@ -16,8 +16,9 @@ definitions:
   audio-caption domain (``evaluation/synonyms.py``; override with
   $T2S_SYNONYMS; pass ``synonyms="none"`` to disable the stage). Alignment
   is the jar's search: per stage, a MAXIMUM matching with the minimum-chunk
-  alignment among maximum matchings (beam-searched, exact at caption
-  lengths — pinned vs an exhaustive oracle in
+  alignment among maximum matchings, resolved — as in the jar itself
+  (meteor-1.5 uses a width-40 beam) — by a beam search (width 256 here;
+  agrees with an exhaustive oracle on the pinned probe set,
   tests/test_caption_metrics_full.py).
   Corpus score = mean of segment scores (the jar aggregates match statistics
   before scoring; a small documented delta). Parameters are coco-caption's
@@ -252,15 +253,21 @@ def _wordnet_synsets():
 
 def _align(cand: Sequence[str], ref: Sequence[str], stages,
            beam: int = 256) -> List[tuple]:
-    """Stage-wise unigram alignment, faithful to the METEOR search (the Java
+    """Stage-wise unigram alignment following the METEOR search (the Java
     jar's semantics, ``AudiocaptionLoss/eval_metrics.py:243-249`` toolchain):
     each stage is ``match(ci, rj) -> bool``; within a stage the aligner takes
-    a MAXIMUM matching over still-unaligned tokens, and among maximum
-    matchings picks the one minimizing the chunk count of the cumulative
-    alignment. The search is a beam over candidate tokens — exact at caption
-    lengths (pinned against an exhaustive oracle in
-    tests/test_caption_metrics_full.py). Returns [(cand_idx, ref_idx)]
-    sorted by cand_idx."""
+    a maximum matching over still-unaligned tokens and, among maximum
+    matchings, the one minimizing the chunk count of the cumulative
+    alignment. Like the jar (meteor-1.5's aligner resolves this with a
+    beam search, width 40), the search here is a beam over candidate tokens
+    — width 256, so at-least-as-exhaustive as the jar; it agrees with an
+    exhaustive oracle on the pinned probe set
+    (tests/test_caption_metrics_full.py) but, like the jar, can in principle
+    return a sub-optimal alignment for pathologically match-dense inputs
+    whose partial-state count exceeds the beam. Returns
+    [(cand_idx, ref_idx)] sorted by cand_idx."""
+    import heapq
+
     pairs: Dict[int, int] = {}
     used: set = set()
     for match in stages:
@@ -274,20 +281,20 @@ def _align(cand: Sequence[str], ref: Sequence[str], stages,
             # maximize matches, then minimize chunks of the cumulative pairing
             return (-len(assign), _chunks(sorted(fixed + list(assign))))
 
-        # beam over candidate tokens in order; state = (assign, used_j)
-        states = [((), frozenset())]
+        # beam over candidate tokens in order; state = (score, assign, used_j)
+        # — the score is computed once per state, not per sort comparison
+        states = [(score(()), (), frozenset())]
         for i in free_i:
             if not opts[i]:
                 continue
-            nxt = []
-            for assign, usedj in states:
-                nxt.append((assign, usedj))  # leave token i unmatched
+            nxt = list(states)  # leaving token i unmatched keeps the state
+            for sc, assign, usedj in states:
                 for j in opts[i]:
                     if j not in usedj:
-                        nxt.append((assign + ((i, j),), usedj | {j}))
-            nxt.sort(key=lambda st: score(st[0]))
-            states = nxt[:beam]
-        best = min((st[0] for st in states), key=score)
+                        a = assign + ((i, j),)
+                        nxt.append((score(a), a, usedj | {j}))
+            states = heapq.nsmallest(beam, nxt, key=lambda st: st[0])
+        best = min(states, key=lambda st: st[0])[1]
         for i, j in best:
             pairs[i] = j
             used.add(j)

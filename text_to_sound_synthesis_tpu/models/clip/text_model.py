@@ -66,7 +66,17 @@ class ClipTextEncoder(nn.Module):
     layers: int = 12
     heads: int = 8
     embed_dim: int = 512  # projection output dim
+    with_projection: bool = False  # create text_projection (EOT paths only)
     dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        # Created here (not in project_eot) so the EOT paths init correctly:
+        # self.param outside the compact method never registers at init time.
+        if self.with_projection:
+            self.text_projection = self.param(
+                "text_projection", nn.initializers.normal(self.width**-0.5),
+                (self.width, self.embed_dim),
+            )
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
@@ -84,13 +94,9 @@ class ClipTextEncoder(nn.Module):
 
     def project_eot(self, tokens: jnp.ndarray, features: jnp.ndarray) -> jnp.ndarray:
         """Take the EOT position (argmax token id) through text_projection."""
-        proj = self.param(
-            "text_projection", nn.initializers.normal(self.width**-0.5),
-            (self.width, self.embed_dim),
-        )
         eot = jnp.argmax(tokens, axis=-1)
         picked = features[jnp.arange(features.shape[0]), eot]
-        return picked @ proj.astype(picked.dtype)
+        return picked @ self.text_projection.astype(picked.dtype)
 
 
 @register(
@@ -117,14 +123,19 @@ class CLIPTextEmbedding(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        # text_projection keeps the CHECKPOINT's output dim (width -> 512 for
+        # ViT-B/32) regardless of embed_dim: the reference's embed_dim=1024
+        # only switches on the self-concat below (clip_text_embedding.py:34-38
+        # reads self.text_projection.shape[1]*2, it never reshapes the proj)
         self.encoder = ClipTextEncoder(
             vocab_size=self.num_embed, context_length=self.context_length,
             width=self.width, layers=self.layers, heads=self.heads,
-            embed_dim=self.embed_dim if self.pick_last_embedding else self.width,
+            embed_dim=self.width if self.embed_dim == 1024 else self.embed_dim,
+            with_projection=self.pick_last_embedding or self.additional_last_embedding,
             dtype=self.dtype, name="text",
         )
 
-    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, tokens: jnp.ndarray):
         tokens = jnp.maximum(tokens, 0)  # negative pad ids -> 0
         feats = self.encoder(tokens)  # (B, L, 512)
         if self.pick_last_embedding:
@@ -134,7 +145,16 @@ class CLIPTextEmbedding(nn.Module):
         else:
             out = feats
         if self.embed_dim == 1024:
+            # "to fit 1024 dimension of image embedding": self-concat of the
+            # 512-d features (clip_text_embedding.py:74-76)
             out = jnp.concatenate([out, out], axis=-1)
         if self.normalize:
             out = out / jnp.linalg.norm(out, axis=-1, keepdims=True)
+        if self.additional_last_embedding:
+            # (text_features, unnormalized EOT projection) tuple
+            # (clip_text_embedding.py:82-88)
+            last = self.encoder.project_eot(tokens, feats)
+            if self.keep_seq_len_dim:
+                last = last[:, None, :]
+            return out, last
         return out

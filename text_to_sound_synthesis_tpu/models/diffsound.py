@@ -115,9 +115,16 @@ class Diffsound:
 
     # -- initialization ------------------------------------------------------
 
-    def init_params(self, key: jax.Array, mel_shape=(1, 80, 848, 1)) -> dict:
+    def init_params(self, key: jax.Array, mel_shape=(1, 80, 848, 1),
+                    load_codec: bool = True) -> dict:
         """Random init of all three param trees (real runs overwrite codec/cond
-        from converted reference checkpoints)."""
+        from converted reference checkpoints).
+
+        ``load_codec=False`` skips the ``content_codec_config.params.ckpt_path``
+        stage-1 restore — callers that immediately overwrite the whole tree
+        from a full checkpoint (tools/generate.py, serve.py, the converter)
+        pass False so a stale/absent codec path can't crash them and they
+        don't pay a restore whose result is discarded."""
         k1, k2, k3 = jax.random.split(key, 3)
         codec_params = self.codec.init(k1, jnp.zeros(mel_shape))
         ctx = self.cond.context_length if self.cond else 77
@@ -129,7 +136,7 @@ class Diffsound:
         diff_params = self.diffusion.init(
             k3, jnp.zeros((1, L), jnp.int32), jnp.zeros((1, ctx, cond_dim)), jnp.zeros((1,), jnp.int32)
         )
-        if self.codec_ckpt_path:
+        if load_codec and self.codec_ckpt_path:
             codec_params = self._load_codec_params(codec_params)
         return {"codec": codec_params, "cond": cond_params, "diffusion": diff_params}
 

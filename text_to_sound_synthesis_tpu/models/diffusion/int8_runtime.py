@@ -524,6 +524,12 @@ def sample_tokens_int8(
         impl = "pallas" if on_tpu else "xla"
     if use_sampler_kernel is None:
         use_sampler_kernel = on_tpu
+    if qp.weight_bits == 4 and impl != "pallas":
+        # hoist the W4 unpack OUT of the timestep scan: left to the
+        # per-step check in _int8_backbone_hidden, the int32-shift/concat
+        # unpack of every dense weight re-traces into the scan body and XLA
+        # re-runs it all 100 steps (the LICM lesson, CLAUDE.md round 3)
+        qp = unpack_denoiser(qp)
     K = qp.tok_emb.shape[0]  # num classes incl. MASK
     T = qp.num_timesteps
     L = qp.seq_len

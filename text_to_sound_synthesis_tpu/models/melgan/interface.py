@@ -16,7 +16,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ...ops.signal import wav_to_mel  # noqa: F401
+from ...ops.signal import wav_to_mel
 from .generator import MelGANGenerator
 
 __all__ = ["load_vocoder", "Vocoder"]
@@ -87,6 +87,4 @@ class Vocoder:
 
     def wav2mel(self, wav: np.ndarray) -> np.ndarray:
         """(B, T) -> (B, 80, frames) training-convention [0,1] spec."""
-        from ...ops.signal import wav_to_mel
-
         return np.asarray(wav_to_mel(jnp.asarray(wav)))

@@ -120,6 +120,17 @@ class VQSegmentationModel(VQModel):
 
     n_labels: int | None = None
 
+    def setup(self):
+        out_ch = (self.ddconfig or {}).get(
+            "out_ch", (self.ddconfig or {}).get("in_channels", 1))
+        if self.n_labels is not None and self.n_labels != out_ch:
+            # fail at construction, not as a shape error deep in the BCE loss
+            raise ValueError(
+                f"n_labels={self.n_labels} but ddconfig.out_ch={out_ch}; the "
+                f"decoder emits out_ch logit channels — set ddconfig.out_ch "
+                f"= n_labels (vqgan.py:232-281 semantics)")
+        super().setup()
+
     def segmentation_to_rgb(self, logits: jnp.ndarray, key) -> jnp.ndarray:
         """Random 3-channel projection of one-hot argmax labels, normalized to
         [-1, 1] (vqgan.py:265-281 ``to_rgb``)."""

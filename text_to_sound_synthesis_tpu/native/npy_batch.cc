@@ -57,6 +57,13 @@ int parse_header(FILE* f, const char* path, NpyInfo* info, char* err,
     snprintf(err, errlen, "%s: unsupported .npy version %d", path, major);
     return 1;
   }
+  // A real .npy header dict is <1 KiB; a corrupt/truncated length field can
+  // decode to gigabytes — failing here keeps the IOError contract instead of
+  // a bad_alloc escaping through the worker thread (std::terminate).
+  if (hlen == 0 || hlen > (1u << 20)) {
+    snprintf(err, errlen, "%s: implausible header length %lu", path, hlen);
+    return 1;
+  }
   std::string hdr(hlen, '\0');
   if (fread(&hdr[0], 1, hlen, f) != hlen) {
     snprintf(err, errlen, "%s: truncated header dict", path);

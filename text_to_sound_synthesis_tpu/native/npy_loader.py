@@ -123,6 +123,11 @@ def load_mel_batch(
     c_paths = (ctypes.c_char_p * n)(*[os.fspath(p).encode() for p in paths])
     t = np.asarray(tops if tops is not None else [-1] * n, dtype=np.int64)
     l = np.asarray(lefts if lefts is not None else [-1] * n, dtype=np.int64)
+    if t.shape != (n,) or l.shape != (n,):
+        # the C side indexes tops/lefts[0..n) — a short list would read OOB
+        raise ValueError(
+            f"tops/lefts must have one entry per path: got {t.shape[0] if t.ndim else 0}/"
+            f"{l.shape[0] if l.ndim else 0} for {n} paths")
     err = ctypes.create_string_buffer(512)
     rc = _lib.t2s_load_mel_batch(
         c_paths, n, mel_num, crop_len,

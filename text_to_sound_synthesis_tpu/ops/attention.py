@@ -100,7 +100,10 @@ def mha_reference(q, k, v, *, batch, n_head, kv_valid):
     qh = q.reshape(batch, Lq, n_head, hd)
     kh = k.reshape(batch, Lkv, n_head, hd)
     vh = v.reshape(batch, Lkv, n_head, hd)
-    s = jnp.einsum("blhd,bshd->bhls", qh, kh).astype(jnp.float32) / math.sqrt(hd)
+    # accumulate scores in f32 (like the kernel) — a bf16 einsum would make
+    # this oracle LESS precise than the kernel it validates
+    s = jnp.einsum("blhd,bshd->bhls", qh, kh,
+                   preferred_element_type=jnp.float32) / math.sqrt(hd)
     mask = (jnp.arange(Lkv) >= kv_valid)[None, None, None, :]
     s = jnp.where(mask, -jnp.inf, s)
     p = jax.nn.softmax(s, axis=-1).astype(q.dtype)

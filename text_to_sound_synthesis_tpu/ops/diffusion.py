@@ -160,7 +160,20 @@ def log_add_exp(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def index_to_log_onehot(x: jnp.ndarray, num_classes: int) -> jnp.ndarray:
-    """(B, L) int -> (B, L, K) log one-hot with off-class value log(1e-30)."""
+    """(B, L) int -> (B, L, K) log one-hot with off-class value log(1e-30).
+
+    The reference asserts ``x.max() < num_classes``
+    (diffusion_transformer.py:46-47) — an out-of-range id would otherwise
+    one-hot to an all-zeros row that log/clip turns into a uniform
+    log(1e-30) pseudo-distribution and q_pred/q_posterior silently
+    renormalize. Under jit the value is traced, so the guard runs only on
+    concrete (eager/test/oracle) inputs — the exact wiring-bug class the
+    reference assert catches surfaces there."""
+    if not isinstance(x, jax.core.Tracer):
+        mx = int(jnp.max(x))
+        if mx >= num_classes:
+            raise ValueError(
+                f"token id {mx} out of range for {num_classes} classes")
     onehot = jax.nn.one_hot(x, num_classes, dtype=jnp.float32)
     return jnp.log(jnp.clip(onehot, min=1e-30))
 

@@ -38,12 +38,19 @@ def adopt_weight(weight: float, global_step, threshold: int = 0, value: float = 
 
 
 def feature_matching_l1(feats_real, feats_fake) -> jnp.ndarray:
-    """Mean L1 across all discriminator feature maps except the final logits
-    (MelGAN train.py:167-176: weight 4/n_layers_D applied per map)."""
+    """Reference-weighted feature-matching L1 (MelGAN train.py:167-176):
+    per-map weight = (4 / (n_layers_D + 1)) * (1 / num_D), summed over all
+    discriminator feature maps except each scale's final logits. The weights
+    are derived from the feature structure itself — each scale returns
+    n_layers_D + 3 tensors (stem + n_layers downsamplers + pre-logit conv +
+    logits), so 4 / (len(scale) - 2) == 4 / (n_layers_D + 1) — which keeps
+    this helper numerically identical to the reference loop (and to
+    ``engine/vocoder_solver.py``'s step, which shares it) at any
+    discriminator geometry."""
+    num_D = max(len(feats_fake), 1)
     total = 0.0
-    count = 0
     for fr, ff in zip(feats_real, feats_fake):
+        wt = (4.0 / max(len(ff) - 2, 1)) * (1.0 / num_D)
         for r, f in zip(fr[:-1], ff[:-1]):
-            total = total + jnp.mean(jnp.abs(f - jnp.asarray(r)))
-            count += 1
-    return total / max(count, 1)
+            total = total + wt * jnp.mean(jnp.abs(f - jnp.asarray(r)))
+    return total

@@ -615,12 +615,10 @@ def mlp_block(x, mod, w1, w2, *, block_m: int = 128, interpret: bool = False,
     the most expensive abs-max pass in the step, docs/ROOFLINE.md).
     ``w4``: weights are nibble-packed int4 (see ``self_attn_block``)."""
     M, D = x.shape
-    if w4:
-        Kh1, Dh = w1.w_q.shape      # (D/2, Dh)
-        Kh2, _ = w2.w_q.shape       # (Dh/2, D)
-    else:
-        Kh1, Dh = w1.w_q.shape
-        Kh2 = w2.w_q.shape[0]
+    # same reads either way: W4 packing halves K in STORAGE, so the stored
+    # shape is already (K/2, N) and the BlockSpecs below follow it directly
+    Kh1, Dh = w1.w_q.shape
+    Kh2 = w2.w_q.shape[0]
     assert M % block_m == 0, (M, block_m)
     return pl.pallas_call(
         partial(_mlp_kernel, pipeline_halves=pipeline_halves,

@@ -155,6 +155,17 @@ def hann_window(win_length: int, dtype=np.float32) -> np.ndarray:
     return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)).astype(dtype)
 
 
+def _fft_window(win_length: int, n_fft: int, dtype=np.float32) -> np.ndarray:
+    """Hann window center-padded to n_fft (librosa's pad_center convention)
+    — shared by the numpy and JAX STFT paths so win_length < n_fft behaves
+    identically on both."""
+    window = hann_window(win_length, dtype=dtype)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = np.pad(window, (lpad, n_fft - win_length - lpad))
+    return window
+
+
 # ---------------------------------------------------------------------------
 # Host-side (numpy) pipeline — offline dataset preparation
 # ---------------------------------------------------------------------------
@@ -173,10 +184,7 @@ def stft_magnitude_np(
     if center:
         y = np.pad(y, n_fft // 2, mode=pad_mode)
     n_frames = 1 + (len(y) - n_fft) // hop_length
-    window = hann_window(win_length, dtype=np.float64)
-    if win_length < n_fft:
-        pad = (n_fft - win_length) // 2
-        window = np.pad(window, (pad, n_fft - win_length - pad))
+    window = _fft_window(win_length, n_fft, dtype=np.float64)
     idx = np.arange(n_fft)[None, :] + hop_length * np.arange(n_frames)[:, None]
     frames = y[idx] * window[None, :]
     return np.abs(np.fft.rfft(frames, n=n_fft, axis=1)).T
@@ -250,7 +258,7 @@ def stft_magnitude(
         pad = [(0, 0)] * (y.ndim - 1) + [(cfg.n_fft // 2, cfg.n_fft // 2)]
         y = jnp.pad(y, pad, mode=pad_mode)
     frames = _frame(y, cfg.n_fft, cfg.hop_length)
-    window = jnp.asarray(hann_window(cfg.win_length))
+    window = jnp.asarray(_fft_window(cfg.win_length, cfg.n_fft))
     spec = jnp.fft.rfft(frames * window, n=cfg.n_fft, axis=-1)
     return jnp.abs(spec).swapaxes(-1, -2)
 
@@ -285,7 +293,7 @@ def audio_to_logmel(audio: jnp.ndarray, cfg: MelConfig | None = None) -> jnp.nda
 def _istft(spec: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
     """Inverse STFT with hann-squared overlap-add normalization (center=True)."""
     frames = jnp.fft.irfft(spec.swapaxes(-1, -2), n=cfg.n_fft, axis=-1)
-    window = jnp.asarray(hann_window(cfg.win_length))
+    window = jnp.asarray(_fft_window(cfg.win_length, cfg.n_fft))
     frames = frames * window
     n_frames = frames.shape[-2]
     out_len = cfg.n_fft + cfg.hop_length * (n_frames - 1)
@@ -321,5 +329,5 @@ def stft_magnitude_complex(y: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
     pad = [(0, 0)] * (y.ndim - 1) + [(cfg.n_fft // 2, cfg.n_fft // 2)]
     y = jnp.pad(y, pad, mode="reflect")
     frames = _frame(y, cfg.n_fft, cfg.hop_length)
-    window = jnp.asarray(hann_window(cfg.win_length))
+    window = jnp.asarray(_fft_window(cfg.win_length, cfg.n_fft))
     return jnp.fft.rfft(frames * window, n=cfg.n_fft, axis=-1).swapaxes(-1, -2)

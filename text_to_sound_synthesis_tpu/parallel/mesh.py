@@ -67,10 +67,13 @@ def make_data_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
     return make_mesh(devices[:n])
 
 
-def batch_sharding(mesh: Mesh, *, ndim: int = 0) -> NamedSharding:
-    """Shard axis 0 (batch) across 'data'; replicate the rest."""
-    spec = P("data", *([None] * max(0, ndim - 1))) if ndim else P("data")
-    return NamedSharding(mesh, spec)
+def batch_sharding(mesh: Mesh, *, ndim: int = 1) -> NamedSharding:
+    """Shard axis 0 (batch) across 'data'; replicate the rest. Rank-0 leaves
+    (python scalars, 0-d arrays — e.g. a step counter in the batch dict) have
+    no batch axis to shard and are replicated."""
+    if ndim == 0:
+        return NamedSharding(mesh, P())
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
@@ -80,6 +83,6 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch, mesh: Mesh):
     """Device-put a pytree of host arrays with batch-dim sharding."""
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, batch_sharding(mesh, ndim=getattr(x, "ndim", 1))),
+        lambda x: jax.device_put(x, batch_sharding(mesh, ndim=getattr(x, "ndim", 0))),
         batch,
     )

@@ -52,7 +52,8 @@ def main():
         from text_to_sound_synthesis_tpu.models.diffsound import build_model
 
         model = build_model(load_yaml_config(args.config))
-        template = model.init_params(jax.random.PRNGKey(0))
+        # the .pth embeds the codec — skip the config's stage-1 restore
+        template = model.init_params(jax.random.PRNGKey(0), load_codec=False)
         save(args.out, C.convert_diffsound_checkpoint(args.ckpt, model, template))
     elif args.kind == "vqgan":
         from text_to_sound_synthesis_tpu.models.vqgan import VQModel

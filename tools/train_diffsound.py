@@ -78,7 +78,10 @@ def main():
             convert_diffsound_checkpoint,
         )
 
-        template = model.init_params(jax.random.PRNGKey(args.seed))
+        # --load_path supplies the full tree (codec included) — skip the
+        # config's stage-1 codec restore in the throwaway template
+        template = model.init_params(jax.random.PRNGKey(args.seed),
+                                     load_codec=False)
         logger.log_info(f"converting torch checkpoint {args.load_path}")
         params = convert_diffsound_checkpoint(args.load_path, model, template)
 
