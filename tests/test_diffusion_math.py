@@ -278,3 +278,24 @@ def test_kl_matches_manual(rng):
     got = np.asarray(dd.multinomial_kl(jnp.log(jnp.asarray(p)), jnp.log(jnp.asarray(q))))
     want = (p * (np.log(p) - np.log(q))).sum(-1)
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_index_to_log_onehot_range_guard():
+    # eager out-of-range id -> ValueError (the reference's assert,
+    # diffusion_transformer.py:46-47)
+    with pytest.raises(ValueError, match="out of range"):
+        dd.index_to_log_onehot(jnp.asarray([[0, 4]]), 4)
+    # in-range eager: fine
+    out = dd.index_to_log_onehot(jnp.asarray([[0, 3]]), 4)
+    assert out.shape == (1, 2, 4)
+
+    # a concrete CONSTANT closed over by a jitted fn: jnp ops on it stage
+    # into the jaxpr, so the guard must reduce on the host (regression for
+    # the ConcretizationTypeError this once raised)
+    const = jnp.asarray([[1, 2]])
+    jitted = jax.jit(lambda: dd.index_to_log_onehot(const, 4))
+    assert jitted().shape == (1, 2, 4)
+
+    # traced values skip the guard (no concretization error)
+    f = jax.jit(lambda x: dd.index_to_log_onehot(x, 4))
+    assert f(jnp.asarray([[1, 3]])).shape == (1, 2, 4)

@@ -170,7 +170,11 @@ def index_to_log_onehot(x: jnp.ndarray, num_classes: int) -> jnp.ndarray:
     concrete (eager/test/oracle) inputs — the exact wiring-bug class the
     reference assert catches surfaces there."""
     if not isinstance(x, jax.core.Tracer):
-        mx = int(jnp.max(x))
+        # reduce on the HOST: even on a concrete array, jnp.max inside a jit
+        # trace stages into the jaxpr and int() of the result raises — a
+        # concrete x (eager call, or a constant closed over by a jitted fn)
+        # is always np-convertible
+        mx = int(np.asarray(x).max())
         if mx >= num_classes:
             raise ValueError(
                 f"token id {mx} out of range for {num_classes} classes")
