@@ -607,8 +607,6 @@ def sample_tokens_int8_sharded(
     folded from the global key and the device's position along ``axis`` so
     shards draw independent samples.
     """
-    from functools import partial as _partial
-
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 

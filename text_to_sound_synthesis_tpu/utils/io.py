@@ -8,13 +8,12 @@ semantics: resample + normalize to [-1,1] float), PCM_24 wav writing
 from __future__ import annotations
 
 import os
-import struct
 import wave
 from typing import Tuple
 
 import numpy as np
 
-__all__ = ["read_wav", "write_wav", "resample_poly"]
+__all__ = ["read_wav", "write_wav", "wav_bytes", "resample_poly"]
 
 
 def read_wav(path: str, target_sr: int = 22050) -> Tuple[np.ndarray, int]:
